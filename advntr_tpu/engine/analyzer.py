@@ -1,0 +1,331 @@
+"""Genome-level orchestration: recruitment fan-out, per-locus genotyping
+with error isolation, and text/BED/VCF output.
+
+Capability-equivalent to the reference GenomeAnalyzer
+(advntr/genome_analyzer.py:12-318), restructured around the native IO stack
+and the batched device engine:
+
+1. stream unmapped reads once through the k-mer recruitment filter for all
+   target loci (the reference shells out to the C++ Aho-Corasick binary,
+   genome_analyzer.py:185)
+2. per locus: indexed BAM fetch for mapped candidates + the recruited
+   unmapped reads -> batched Viterbi scoring -> genotype
+3. per-locus try/except isolation so one bad locus yields an Error row, not
+   an aborted run (genome_analyzer.py:290-297)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+from advntr_tpu import __version__
+from advntr_tpu.config import Config, DEFAULT_CONFIG
+from advntr_tpu.engine.finder import VNTRFinder, GenotypeResult
+from advntr_tpu.engine.recruitment import build_recruitment_filter, filter_reads
+from advntr_tpu.io.bam import BamReader, get_reference_genome_style
+from advntr_tpu.utils.profiler import time_usage
+from advntr_tpu.utils.quality import is_low_quality_read
+
+
+class GenomeAnalyzer:
+    def __init__(self, ref_vntrs, target_vntr_ids, working_dir: str = "./",
+                 outfmt: str = "text", is_haploid: bool = False,
+                 ref_filename=None, input_file=None,
+                 config: Config = DEFAULT_CONFIG, out=None):
+        self.reference_vntrs = ref_vntrs
+        self.target_vntr_ids = target_vntr_ids
+        self.working_dir = working_dir
+        self.outfmt = outfmt
+        self.is_haploid = is_haploid
+        self.ref_filename = ref_filename
+        self.input_file = input_file
+        self.config = config
+        self.out = out or sys.stdout
+        self.vntr_finder = {}
+        for ref_vntr in ref_vntrs:
+            if ref_vntr.id in target_vntr_ids:
+                self.vntr_finder[ref_vntr.id] = VNTRFinder(
+                    ref_vntr, config, is_haploid)
+
+    # ---- output formatting (genome_analyzer.py:28-170) --------------------
+
+    def _print(self, text: str) -> None:
+        self.out.write(text + "\n")
+
+    def print_genotype(self, vntr_id, result: GenotypeResult,
+                       encountered_error: bool = False) -> None:
+        if self.outfmt == "bed":
+            self.print_genotype_in_bed(vntr_id, result.copy_numbers,
+                                       encountered_error)
+        elif self.outfmt == "vcf":
+            self.print_genotype_in_vcf(vntr_id, result, encountered_error)
+        else:
+            self.print_genotype_in_text(vntr_id, result.copy_numbers,
+                                        encountered_error)
+
+    def print_genotype_in_text(self, vntr_id, copy_numbers,
+                               encountered_error) -> None:
+        self._print(str(vntr_id))
+        if encountered_error:
+            self._print("Error")
+        elif copy_numbers is not None:
+            if self.is_haploid:
+                self._print(str(copy_numbers[0]))
+            else:
+                self._print("/".join(str(cn) for cn in sorted(copy_numbers)))
+        else:
+            self._print("None")
+
+    def print_bed_header(self) -> None:
+        repeats = "R" if self.is_haploid else "R1\tR2"
+        self._print("#CHROM\tStart\tEnd\tVNTR_ID\tGene\tMotif\tRefCopy\t%s"
+                    % repeats)
+
+    def print_genotype_in_bed(self, vntr_id, copy_numbers,
+                              encountered_error) -> None:
+        ref = self.vntr_finder[vntr_id].reference_vntr
+        end = ref.start_point + ref.get_length()
+        ref_copy = len(ref.get_repeat_segments())
+        if encountered_error:
+            repeats = "Error"
+        elif copy_numbers is None:
+            repeats = "None" if self.is_haploid else "None\tNone"
+        else:
+            repeats = (str(copy_numbers[0]) if self.is_haploid else
+                       "\t".join(str(cn) for cn in sorted(copy_numbers)))
+        self._print("%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s" % (
+            ref.chromosome, ref.start_point, end, vntr_id, ref.gene_name,
+            ref.pattern, ref_copy, repeats))
+
+    def print_vcf_header(self) -> None:
+        p = self._print
+        p("##fileformat=VCFv4.2")
+        p("##source=adVNTR-TPU ver. {}".format(__version__))
+        p('##INFO=<ID=END,Number=1,Type=Integer,Description="End position of variant">')
+        p('##INFO=<ID=VID,Number=1,Type=Integer,Description="VNTR ID">')
+        p('##INFO=<ID=RU,Number=1,Type=String,Description="Repeat motif">')
+        p('##INFO=<ID=RC,Number=1,Type=Integer,Description="Reference repeat unit count">')
+        p('##FILTER=<ID=ERR,Description="Error occurred while genotyping">')
+        p('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+        p('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">')
+        p('##FORMAT=<ID=SR,Number=1,Type=Integer,Description="Spanning read count">')
+        p('##FORMAT=<ID=FR,Number=1,Type=Integer,Description="Flanking read count">')
+        p('##FORMAT=<ID=ML,Number=1,Type=Float,Description="Maximum likelihood">')
+        contigs = set()
+        for vid in self.target_vntr_ids:
+            chromosome = self.vntr_finder[vid].reference_vntr.chromosome[3:]
+            contigs.add(chromosome)
+        for contig in sorted(contigs):
+            p("##contig=<ID={}>".format(contig))
+        sample = (self.input_file or "sample").strip().split("/")[-1].split(".")[0]
+        p("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample)
+
+    def print_genotype_in_vcf(self, vntr_id, result: GenotypeResult,
+                              encountered_error) -> None:
+        vntr = self.vntr_finder[vntr_id].reference_vntr
+        end = vntr.start_point + vntr.get_length()
+        ref = "".join(vntr.get_repeat_segments())
+        consensus = vntr.pattern
+        GT = []
+        diff_count = 0
+        diff_index = -1
+        if result.copy_numbers is None:
+            GT = [".", "."]
+        else:
+            for index, copy_number in enumerate(result.copy_numbers):
+                if copy_number != vntr.estimated_repeats:
+                    diff_index = index
+                    diff_count += 1
+                    GT.append(diff_count)
+                    if len(set(result.copy_numbers)) == 1:
+                        GT.append(diff_count)
+                        break
+                else:
+                    GT.append(0)
+        if diff_count == 2:
+            alt = (consensus * result.copy_numbers[0] + "," +
+                   consensus * result.copy_numbers[1])
+        elif diff_count == 1:
+            alt = consensus * result.copy_numbers[diff_index]
+        else:
+            alt = "."
+        filt = "ERR" if encountered_error else "."
+        info = "END={};VID={};RU={};RC={}".format(
+            end, vntr_id, vntr.pattern, vntr.estimated_repeats)
+        fmt = "{}/{}:{}:{}:{}:{:.4f}".format(
+            GT[0], GT[1], result.recruited_reads_count,
+            result.spanning_reads_count, result.flanking_reads_count,
+            result.maximum_likelihood)
+        self._print("{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}".format(
+            vntr.chromosome, vntr.start_point, ".", ref, alt, ".", filt,
+            info, "GT:DP:SR:FR:ML", fmt))
+
+    # ---- recruitment ------------------------------------------------------
+
+    @time_usage
+    def recruit_unmapped_reads(self, alignment_file: str,
+                               illumina: bool = True):
+        """One pass over the unmapped reads for all target loci.
+
+        Returns {vid: [(name, seq), ...]}.
+        """
+        filt = build_recruitment_filter(
+            self.reference_vntrs, self.target_vntr_ids, short_reads=illumina,
+            keyword_size=self.config.keyword_size,
+            min_matches=self.config.min_keyword_matches,
+            max_reads_per_locus=self.config.max_reads_per_locus)
+
+        def unmapped_iter():
+            with BamReader(alignment_file) as bam:
+                for rec in bam.fetch_unmapped():
+                    yield rec.query_name, rec.seq
+
+        results, sequences = filter_reads(filt, unmapped_iter(),
+                                          batch_size=1024)
+        out = {}
+        for vid in self.target_vntr_ids:
+            out[vid] = [(name, sequences[name])
+                        for name, _ in results.get(vid, [])]
+        return out
+
+    @time_usage
+    def mapped_candidates(self, bam: BamReader, finder: VNTRFinder,
+                          read_length: int):
+        """Indexed fetch of mapped candidate reads for one locus
+        (reference semantics: vntr_finder.py:727-750)."""
+        ref = finder.reference_vntr
+        style = get_reference_genome_style(bam.references)
+        chromosome = ref.chromosome if style == "HG19" else ref.chromosome[3:]
+        vntr_start, vntr_end = finder.vntr_start, finder.vntr_end
+        min_len = int(read_length * 0.9)
+        if self.config.min_read_length is not None:
+            min_len = self.config.min_read_length
+        out = []
+        try:
+            fetched = bam.fetch(chromosome, max(0, vntr_start - 500), vntr_end)
+        except FileNotFoundError:
+            logging.warning("no BAI index; scanning sequentially")
+            fetched = (r for r in bam
+                       if r.reference_name == chromosome
+                       and not r.is_unmapped)
+        for read in fetched:
+            if read.is_unmapped or read.is_duplicate:
+                continue
+            if len(read.seq) < min_len:
+                continue
+            read_end = read.reference_end or read.reference_start + len(read.seq)
+            if not (vntr_start - read_length < read.reference_start < vntr_end
+                    or vntr_start < read_end < vntr_end):
+                continue
+            if is_low_quality_read(read.mapq, read.qual,
+                                   self.config.mapq_cutoff,
+                                   self.config.quality_score_cutoff,
+                                   self.config.low_quality_bp_to_discard_read):
+                continue
+            out.append((read.query_name, read.seq))
+        return out
+
+    # ---- workloads --------------------------------------------------------
+
+    def _emit_header(self):
+        if self.outfmt == "bed":
+            self.print_bed_header()
+        elif self.outfmt == "vcf":
+            self.print_vcf_header()
+
+    def find_repeat_counts_from_alignment_file(self, alignment_file: str,
+                                               accuracy_filter: bool = False,
+                                               average_coverage=None,
+                                               update: bool = False) -> None:
+        unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
+                                                      illumina=True)
+        self._emit_header()
+        with BamReader(alignment_file) as bam:
+            read_length = self._median_read_length(bam)
+            for vid in self.target_vntr_ids:
+                finder = self.vntr_finder[vid]
+                try:
+                    mapped = self.mapped_candidates(bam, finder, read_length)
+                    result = finder.find_repeat_count(
+                        mapped, unmapped_by_vid[vid],
+                        read_length=read_length,
+                        accuracy_filter=accuracy_filter,
+                        average_coverage=average_coverage)
+                    self.print_genotype(vid, result)
+                except Exception as error:  # per-locus isolation
+                    logging.error(
+                        "Error genotyping VNTR %s: %s. Skipping.", vid, error)
+                    self.print_genotype(
+                        vid, GenotypeResult(None, 0, 0, 0, 0),
+                        encountered_error=True)
+
+    def find_frameshift_from_alignment_file(self, alignment_file: str) -> None:
+        unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
+                                                      illumina=True)
+        with BamReader(alignment_file) as bam:
+            read_length = self._median_read_length(bam)
+            for vid in self.target_vntr_ids:
+                finder = self.vntr_finder[vid]
+                try:
+                    mapped = self.mapped_candidates(bam, finder, read_length)
+                    result = finder.find_frameshift(
+                        mapped, unmapped_by_vid[vid], read_length)
+                    self._print(str(vid))
+                    self._print(str(result))
+                except Exception as error:
+                    logging.error(
+                        "Error in frameshift for VNTR %s: %s.", vid, error)
+
+    def find_repeat_counts_from_pacbio_alignment_file(
+            self, alignment_file: str, log_pacbio_reads: bool = False,
+            accuracy_filter: bool = False) -> None:
+        unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
+                                                      illumina=False)
+        self._emit_header()
+        with BamReader(alignment_file) as bam:
+            for vid in self.target_vntr_ids:
+                finder = self.vntr_finder[vid]
+                try:
+                    result = finder.find_repeat_count_pacbio(
+                        bam, unmapped_by_vid[vid],
+                        accuracy_filter=accuracy_filter)
+                    self.print_genotype(vid, result)
+                except Exception as error:
+                    logging.error(
+                        "Error genotyping VNTR %s: %s. Skipping.", vid, error)
+                    self.print_genotype(
+                        vid, GenotypeResult(None, 0, 0, 0, 0),
+                        encountered_error=True)
+
+    def find_repeat_counts_from_pacbio_reads(self, read_file: str,
+                                             log_pacbio_reads: bool = False,
+                                             accuracy_filter: bool = False,
+                                             naive: bool = False) -> None:
+        from advntr_tpu.io import fasta
+        filt = build_recruitment_filter(
+            self.reference_vntrs, self.target_vntr_ids, short_reads=False,
+            keyword_size=self.config.keyword_size,
+            min_matches=self.config.min_keyword_matches,
+            max_reads_per_locus=self.config.max_reads_per_locus)
+        results, sequences = filter_reads(filt, fasta.read_any(read_file))
+        self._emit_header()
+        for vid in self.target_vntr_ids:
+            finder = self.vntr_finder[vid]
+            reads = [(name, sequences[name])
+                     for name, _ in results.get(vid, [])]
+            try:
+                result = finder.find_repeat_count_pacbio(
+                    None, reads, accuracy_filter=accuracy_filter, naive=naive)
+                self.print_genotype(vid, result)
+            except Exception as error:
+                logging.error("Error genotyping VNTR %s: %s. Skipping.",
+                              vid, error)
+                self.print_genotype(vid, GenotypeResult(None, 0, 0, 0, 0),
+                                    encountered_error=True)
+
+    @staticmethod
+    def _median_read_length(bam: BamReader, default: int = 150) -> int:
+        lengths = sorted(len(r.seq) for r in bam.head(5))
+        return lengths[len(lengths) // 2] if lengths else default

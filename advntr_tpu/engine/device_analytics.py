@@ -1,0 +1,178 @@
+"""Device-side per-read analytics: everything the genotyper needs, computed
+vectorized from the Viterbi traceback without leaving the device.
+
+The reference walks Python lists of state-name strings per read
+(hmm_utils.py:155-286).  Here each per-read quantity is a masked gather/
+reduction over the (B, L) emitting-state path and compiled metadata tables,
+fused behind one jit with the Viterbi kernel, so only O(B) scalars return to
+the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from advntr_tpu.models.graph import K_MATCH, R_SUFFIX, R_REPEAT, R_PREFIX
+from advntr_tpu.ops.viterbi import viterbi_batch, prepare_model_tensors
+
+MIN_BP_IN_REPEAT = 3  # reference: hmm_utils.py:165
+
+
+@dataclasses.dataclass
+class DeviceModel:
+    """All per-model tensors the fused genotyping kernel consumes."""
+    log_T: jnp.ndarray
+    log_E: jnp.ndarray
+    log_start: jnp.ndarray
+    log_end: jnp.ndarray
+    kind: jnp.ndarray          # (n,) int8
+    region: jnp.ndarray        # (n,) int8
+    exp_base: jnp.ndarray      # (n,) int8
+    t_unit_starts: jnp.ndarray  # (n, n) int8
+    t_unit_ends: jnp.ndarray
+    s_unit_starts: jnp.ndarray  # (n,)
+    s_unit_ends: jnp.ndarray
+    e_unit_starts: jnp.ndarray
+    e_unit_ends: jnp.ndarray
+
+    @classmethod
+    def from_artifact(cls, art, dtype=jnp.float32) -> "DeviceModel":
+        log_T, log_E, log_start, log_end = prepare_model_tensors(art, dtype)
+        return cls(
+            log_T=log_T, log_E=log_E, log_start=log_start, log_end=log_end,
+            kind=jnp.asarray(art.kind), region=jnp.asarray(art.region),
+            exp_base=jnp.asarray(art.exp_base),
+            t_unit_starts=jnp.asarray(art.t_unit_starts),
+            t_unit_ends=jnp.asarray(art.t_unit_ends),
+            s_unit_starts=jnp.asarray(art.s_unit_starts),
+            s_unit_ends=jnp.asarray(art.s_unit_ends),
+            e_unit_starts=jnp.asarray(art.e_unit_starts),
+            e_unit_ends=jnp.asarray(art.e_unit_ends),
+        )
+
+    def flat(self):
+        return dataclasses.astuple(self)
+
+
+@functools.partial(jax.jit, static_argnames=("return_path",))
+def read_stats(model_arrays, seqs, lengths, return_path: bool = False):
+    """Fused Viterbi + analytics.
+
+    Args:
+      model_arrays: DeviceModel.flat() tuple
+      seqs: (B, L) int, lengths: (B,)
+
+    Returns dict of (B,) arrays:
+      logp, repeats, n_matches, repeat_bp, left_flank_bp, right_flank_bp,
+      left_flank_matches, right_flank_matches (+ path if requested)
+    """
+    (log_T, log_E, log_start, log_end, kind, region, exp_base,
+     t_us, t_ue, s_us, s_ue, e_us, e_ue) = model_arrays
+    B, L = seqs.shape
+    seqs = seqs.astype(jnp.int32)
+    logp, end_state, path = viterbi_batch(log_T, log_E, log_start, log_end,
+                                          seqs, lengths, return_path=True)
+
+    tpos = jnp.arange(L, dtype=jnp.int32)[None, :]          # (1, L)
+    valid = tpos < lengths[:, None]                          # (B, L)
+
+    p_kind = jnp.take(kind, path)
+    p_region = jnp.take(region, path)
+    p_exp = jnp.take(exp_base, path)
+
+    is_m = (p_kind == K_MATCH) & valid
+    base_match = (p_exp == seqs) & is_m
+
+    def cnt(mask):
+        return jnp.sum(mask, axis=1).astype(jnp.int32)
+
+    n_matches = cnt(is_m)
+    repeat_bp = cnt((p_region == R_REPEAT) & valid)
+    left_bp = cnt((p_region == R_SUFFIX) & valid)
+    right_bp = cnt((p_region == R_PREFIX) & valid)
+    left_match = cnt(base_match & (p_region == R_SUFFIX))
+    right_match = cnt(base_match & (p_region == R_PREFIX))
+
+    # ---- repeat-unit counting (reference: hmm_utils.py:155-188) -----------
+    # hop h sits before emitting position h; hop L(ength) is the end hop.
+    prev = path[:, :-1]
+    nxt = path[:, 1:]
+    hop_us = jnp.concatenate([
+        jnp.take(s_us, path[:, :1]).astype(jnp.int32),
+        t_us[prev, nxt].astype(jnp.int32)], axis=1)          # (B, L)
+    hop_ue = jnp.concatenate([
+        jnp.take(s_ue, path[:, :1]).astype(jnp.int32),
+        t_ue[prev, nxt].astype(jnp.int32)], axis=1)
+    # mask hops past each read: hops 1..length-1 valid, hop 0 always valid
+    hop_valid = tpos < lengths[:, None]
+    hop_us = jnp.where(hop_valid, hop_us, 0)
+    hop_ue = jnp.where(hop_valid, hop_ue, 0)
+    # end hop contributes at bp = length
+    last_state = jnp.take_along_axis(path, (lengths - 1)[:, None], axis=1)[:, 0]
+    end_us = jnp.take(e_us, last_state).astype(jnp.int32)
+    end_ue = jnp.take(e_ue, last_state).astype(jnp.int32)
+
+    bp = tpos  # bp count at hop h is h
+    guard_start = (lengths[:, None] - bp) >= MIN_BP_IN_REPEAT
+    guard_end = bp >= MIN_BP_IN_REPEAT
+    cs = jnp.where(guard_start, hop_us, 0)
+    ce = jnp.where(guard_end, hop_ue, 0)
+    end_guard_start = jnp.zeros_like(end_us)  # length-bp = 0 < 3 always
+    end_guard_end = jnp.where(lengths >= MIN_BP_IN_REPEAT, end_ue, 0)
+
+    starts = jnp.sum(cs, axis=1) + end_guard_start
+    ends = jnp.sum(ce, axis=1) + end_guard_end
+
+    BIG = jnp.int32(1 << 30)
+    hp = jnp.broadcast_to(bp, cs.shape)
+    first_start = jnp.min(jnp.where(cs > 0, hp, BIG), axis=1)
+    last_start = jnp.max(jnp.where(cs > 0, hp, -BIG), axis=1)
+    first_end = jnp.min(jnp.where(ce > 0, hp, BIG), axis=1)
+    last_end = jnp.max(jnp.where(ce > 0, hp, -BIG), axis=1)
+    # fold the end hop into end positions
+    first_end = jnp.where((end_guard_end > 0) & (first_end == BIG),
+                          lengths, first_end)
+    last_end = jnp.where(end_guard_end > 0, lengths, last_end)
+
+    have_all = ((first_start != BIG) & (last_start != -BIG) &
+                (first_end != BIG) & (last_end != -BIG))
+    delta = (have_all & (first_end < first_start) &
+             (last_start > last_end)).astype(jnp.int32)
+    repeats = jnp.maximum(starts, ends) + delta
+
+    out = {
+        "logp": logp,
+        "repeats": repeats,
+        "n_matches": n_matches,
+        "repeat_bp": repeat_bp,
+        "left_flank_bp": left_bp,
+        "right_flank_bp": right_bp,
+        "left_flank_matches": left_match,
+        "right_flank_matches": right_match,
+    }
+    if return_path:
+        out["path"] = path
+    return out
+
+
+def flank_rates(stats: dict, accuracy_filter: bool = False) -> np.ndarray:
+    """min(left, right) flank matching rate per read (host, from counts).
+
+    Reference semantics hmm_utils.py:257-268: an absent flank counts as rate
+    1.0 normally (the read simply doesn't span that side) or epsilon under
+    the accuracy filter.
+    """
+    lb = np.asarray(stats["left_flank_bp"], dtype=np.float64)
+    rb = np.asarray(stats["right_flank_bp"], dtype=np.float64)
+    lm = np.asarray(stats["left_flank_matches"], dtype=np.float64)
+    rm = np.asarray(stats["right_flank_matches"], dtype=np.float64)
+    default = 0.00001 if accuracy_filter else 1.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lr = np.where(lb > 0, lm / np.maximum(lb, 1), default)
+        rr = np.where(rb > 0, rm / np.maximum(rb, 1), default)
+    return np.minimum(lr, rr)

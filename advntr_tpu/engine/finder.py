@@ -1,0 +1,588 @@
+"""Per-locus VNTR genotyping engine.
+
+Capability-equivalent to the reference ``VNTRFinder``
+(advntr/vntr_finder.py:59-887) but organized around batched device scoring:
+all candidate reads of a locus (mapped, plus both orientations of unmapped)
+are encoded, padded and decoded in one fused Viterbi+analytics kernel call;
+the host only applies the cheap scalar gates and the genotype model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from advntr_tpu import dna
+from advntr_tpu.config import Config, DEFAULT_CONFIG
+from advntr_tpu.engine import device_analytics as da
+from advntr_tpu.engine.genotype import find_genotype, identify_frameshift
+from advntr_tpu.models.compiler import compile_graph, expand_path
+from advntr_tpu.models.graph import build_read_matcher
+from advntr_tpu.models.profile import profile_for_repeats
+
+
+@dataclasses.dataclass
+class GenotypeResult:
+    copy_numbers: tuple | None
+    recruited_reads_count: int
+    spanning_reads_count: int
+    flanking_reads_count: int
+    maximum_likelihood: float
+
+
+@dataclasses.dataclass
+class ScoredRead:
+    sequence: str
+    logp: float
+    repeats: int
+    repeat_bp: int
+    left_flank_bp: int
+    right_flank_bp: int
+    flank_rate: float
+    flank_rate_strict: float
+    n_matches: int
+    is_mapped: bool
+    query_name: str | None = None
+    row: int = -1  # batch row of the winning orientation (for path fetch)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class LocusModelCache:
+    """Per-(locus, read-length-bucket) compiled model cache.
+
+    Pads state count and batch length to buckets so XLA compiles one
+    executable per bucket, not per locus (the reference re-builds a
+    pomegranate model per locus and read length, vntr_finder.py:117-138).
+    """
+
+    def __init__(self, state_bucket: int = 128, pad_states: bool = True):
+        self.state_bucket = state_bucket
+        self.pad_states = pad_states
+        self._cache: dict = {}
+
+    def get(self, ref_vntr, copies: int, flank_size: int, error_rate: float):
+        key = (ref_vntr.id, copies, flank_size, error_rate)
+        if key not in self._cache:
+            left = ref_vntr.left_flanking_region[-flank_size:]
+            right = ref_vntr.right_flanking_region[:flank_size]
+            trans, emis = profile_for_repeats(
+                list(ref_vntr.get_repeat_segments()), error_rate)
+            g = build_read_matcher(left, right, trans, emis, copies,
+                                   error_rate)
+            art = compile_graph(g)
+            n_pad = (_round_up(art.n_states, self.state_bucket)
+                     if self.pad_states else art.n_states)
+            model = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
+            self._cache[key] = (art, model)
+        return self._cache[key]
+
+
+def _pad_artifact(art, n_pad: int):
+    """Pad an artifact to n_pad states with unreachable dummy states."""
+    n = art.n_states
+    if n_pad == n:
+        return art
+    pad = n_pad - n
+
+    def pad2(x, fill):
+        out = np.full((n_pad, n_pad), fill, dtype=x.dtype)
+        out[:n, :n] = x
+        return out
+
+    def pad1(x, fill):
+        out = np.full((n_pad,) + x.shape[1:], fill, dtype=x.dtype)
+        out[:n] = x
+        return out
+
+    return dataclasses.replace(
+        art,
+        log_T=pad2(art.log_T, -np.inf),
+        log_E=pad1(art.log_E, -np.inf),
+        log_start=pad1(art.log_start, -np.inf),
+        log_end=pad1(art.log_end, -np.inf),
+        t_unit_starts=pad2(art.t_unit_starts, 0),
+        t_unit_ends=pad2(art.t_unit_ends, 0),
+        s_unit_starts=pad1(art.s_unit_starts, 0),
+        s_unit_ends=pad1(art.s_unit_ends, 0),
+        e_unit_starts=pad1(art.e_unit_starts, 0),
+        e_unit_ends=pad1(art.e_unit_ends, 0),
+        kind=pad1(art.kind, 3), region=pad1(art.region, 3),
+        pos=pad1(art.pos, 0), unit=pad1(art.unit, -1),
+        exp_base=pad1(art.exp_base, -1),
+        names=art.names + [f"__pad_{i}" for i in range(pad)],
+    )
+
+
+_GLOBAL_MODEL_CACHE = LocusModelCache()
+
+
+class VNTRFinder:
+    """Find the VNTR genotype of one locus in a pool of candidate reads."""
+
+    def __init__(self, reference_vntr, config: Config = DEFAULT_CONFIG,
+                 is_haploid: bool = False,
+                 model_cache: LocusModelCache | None = None):
+        self.reference_vntr = reference_vntr
+        self.config = config
+        self.is_haploid = is_haploid
+        self.cache = model_cache or _GLOBAL_MODEL_CACHE
+        # reference: vntr_finder.py:66-73
+        self.min_repeat_bp_to_add_read = 2
+        self.min_repeat_bp_to_count_repeats = 2
+        self.minimum_left_flanking_size = 5
+        self.minimum_right_flanking_size = 5
+        self.vntr_start = reference_vntr.start_point
+        self.vntr_end = self.vntr_start + reference_vntr.get_length()
+
+    # -- model construction --------------------------------------------------
+
+    def get_copies_for_hmm(self, read_length: int) -> int:
+        # reference: vntr_finder.py:98-99
+        return int(round(read_length / len(self.reference_vntr.pattern) + 0.5))
+
+    def get_model(self, read_length: int, copies: int | None = None,
+                  flank_size: int | None = None):
+        copies = copies if copies is not None else self.get_copies_for_hmm(read_length)
+        flank_size = flank_size if flank_size is not None else read_length
+        return self.cache.get(self.reference_vntr, copies, flank_size,
+                              self.config.max_error_rate)
+
+    def recruitment_score_threshold(self, read_length: int):
+        # reference: vntr_finder.py:174-177
+        score = self.reference_vntr.scaled_score
+        if score is None or score == 0:
+            return None
+        return score * read_length
+
+    # -- scoring -------------------------------------------------------------
+
+    def score_reads(self, mapped_reads, unmapped_reads, read_length: int,
+                    model=None, length_bucket: int = 32,
+                    return_paths: bool = False):
+        """Batch-score candidate reads.
+
+        mapped_reads / unmapped_reads: lists of (name, sequence) tuples;
+        unmapped reads are scored in both orientations and the better one
+        wins (reference: vntr_finder.py:235-246).
+
+        Returns a list of ScoredRead (one per input read, skipping reads
+        containing N), plus the raw device stats when return_paths.
+        """
+        _, dev_model = model if model else self.get_model(read_length)
+
+        rows: list[np.ndarray] = []
+        row_info = []  # (read_index, orientation)
+        reads = []
+        for name, seq in mapped_reads:
+            seq = seq.upper()
+            if dna.has_n(seq):
+                continue
+            reads.append((name, seq, True))
+        for name, seq in unmapped_reads:
+            seq = seq.upper()
+            if dna.has_n(seq):
+                continue
+            reads.append((name, seq, False))
+
+        for ri, (name, seq, is_mapped) in enumerate(reads):
+            codes = dna.encode(seq)
+            rows.append(codes)
+            row_info.append((ri, 0))
+            if not is_mapped:
+                rows.append(dna.revcomp_codes(codes))
+                row_info.append((ri, 1))
+
+        if not rows:
+            return [], None
+
+        batch, lengths = dna.pad_batch(rows, multiple=length_bucket)
+        # pad the batch axis to the next power of two so XLA compiles one
+        # executable per (n_states, L, B) bucket instead of per call
+        b_pad = 1 << (len(rows) - 1).bit_length()
+        if b_pad != len(rows):
+            batch = np.concatenate(
+                [batch, np.zeros((b_pad - len(rows), batch.shape[1]),
+                                 dtype=batch.dtype)])
+            lengths = np.concatenate(
+                [lengths, np.ones(b_pad - len(rows), dtype=lengths.dtype)])
+        stats = da.read_stats(dev_model.flat(), jnp.asarray(batch),
+                              jnp.asarray(lengths),
+                              return_path=return_paths)
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+        rates = da.flank_rates(stats, accuracy_filter=False)
+        rates_strict = rates  # strict variant differs only when a flank is
+        # absent; read_flanks_repeats_with_confidence requires flank sizes > 5
+        # anyway, so the plain rate is the one that matters for both gates.
+
+        # pick the better orientation per read
+        best_row: dict[int, int] = {}
+        for row, (ri, orient) in enumerate(row_info):
+            cur = best_row.get(ri)
+            if cur is None or stats["logp"][row] > stats["logp"][cur]:
+                best_row[ri] = row
+
+        scored = []
+        for ri, (name, seq, is_mapped) in enumerate(reads):
+            row = best_row[ri]
+            orient = row_info[row][1]
+            seq_used = seq if orient == 0 else dna.revcomp(seq)
+            scored.append(ScoredRead(
+                sequence=seq_used,
+                logp=float(stats["logp"][row]),
+                repeats=int(stats["repeats"][row]),
+                repeat_bp=int(stats["repeat_bp"][row]),
+                left_flank_bp=int(stats["left_flank_bp"][row]),
+                right_flank_bp=int(stats["right_flank_bp"][row]),
+                flank_rate=float(rates[row]),
+                flank_rate_strict=float(rates_strict[row]),
+                n_matches=int(stats["n_matches"][row]),
+                is_mapped=is_mapped,
+                query_name=name,
+                row=row,
+            ))
+        return scored, stats
+
+    # -- recruitment gate (reference: vntr_finder.py:179-190) ----------------
+
+    def recruit_read(self, read: ScoredRead, min_score) -> bool:
+        if read.flank_rate < 0.90:
+            return False
+        read_length = len(read.sequence)
+        if min_score is not None and read.logp > min_score:
+            return True
+        if min_score is None and read.n_matches >= 0.9 * read_length \
+                and read.logp > -read_length:
+            return True
+        return False
+
+    def spans_with_confidence(self, read: ScoredRead) -> bool:
+        # reference: vntr_finder.py:311-322
+        if read.flank_rate < 0.95:
+            return False
+        return (read.left_flank_bp > self.minimum_left_flanking_size and
+                read.right_flank_bp > self.minimum_right_flanking_size)
+
+    # -- top-level Illumina genotyping ---------------------------------------
+
+    def select_reads(self, mapped_reads, unmapped_reads, read_length: int,
+                     return_paths: bool = False):
+        scored, stats = self.score_reads(mapped_reads, unmapped_reads,
+                                         read_length,
+                                         return_paths=return_paths)
+        min_score = self.recruitment_score_threshold(read_length)
+        selected = []
+        for read in scored:
+            if not np.isfinite(read.logp):
+                continue
+            if not self.recruit_read(read, min_score):
+                continue
+            if read.repeat_bp > self.min_repeat_bp_to_add_read:
+                selected.append(read)
+        return selected, stats
+
+    def find_repeat_count(self, mapped_reads, unmapped_reads,
+                          read_length: int | None = None,
+                          accuracy_filter: bool = False,
+                          average_coverage=None) -> GenotypeResult:
+        """Genotype from candidate reads
+        (reference: find_repeat_count_from_alignment_file,
+        vntr_finder.py:789-887)."""
+        if read_length is None:
+            lens = sorted(len(s) for _, s in (mapped_reads + unmapped_reads)[:5])
+            read_length = lens[len(lens) // 2] if lens else 150
+        selected, _ = self.select_reads(mapped_reads, unmapped_reads,
+                                        read_length)
+        covered_repeats = []
+        flanking_repeats = []
+        total_counted_vntr_bp = 0
+        for read in selected:
+            total_counted_vntr_bp += read.repeat_bp
+            if self.spans_with_confidence(read):
+                covered_repeats.append(read.repeats)
+            elif not accuracy_filter:
+                flanking_repeats.append(read.repeats)
+        flanking_repeats = sorted(flanking_repeats)
+        logging.info("covered repeats: %s", covered_repeats)
+        logging.info("flanking repeats: %s", flanking_repeats)
+
+        min_valid_flanked = max(covered_repeats) if covered_repeats else 0
+        max_flanking_repeat = [r for r in flanking_repeats
+                               if r == max(flanking_repeats)
+                               and r >= min_valid_flanked] \
+            if flanking_repeats else []
+        if len(max_flanking_repeat) < 5:
+            max_flanking_repeat = []
+
+        if accuracy_filter:
+            covered_repeats = _filter_by_support(
+                covered_repeats, self.config.accuracy_filter_sr_min_support)
+            max_flanking_repeat = []
+
+        genotype, max_prob = find_genotype(
+            covered_repeats + max_flanking_repeat, self.is_haploid,
+            self.config.genotype_error_rate)
+
+        if average_coverage:
+            pattern_occurrences = sum(flanking_repeats) + sum(covered_repeats)
+            haplotypes = 1 if self.is_haploid else 2
+            estimate = int(pattern_occurrences /
+                           (float(average_coverage) * haplotypes))
+            return GenotypeResult([estimate, estimate], len(selected),
+                                  len(covered_repeats), len(flanking_repeats),
+                                  0)
+        return GenotypeResult(genotype, len(selected), len(covered_repeats),
+                              len(flanking_repeats), max_prob)
+
+    # -- frameshift mode (reference: vntr_finder.py:256-309) -----------------
+
+    def find_frameshift(self, mapped_reads, unmapped_reads,
+                        read_length: int | None = None):
+        if read_length is None:
+            lens = sorted(len(s) for _, s in (mapped_reads + unmapped_reads)[:5])
+            read_length = lens[len(lens) // 2] if lens else 150
+        art, _ = self.get_model(read_length)
+        selected, stats = self.select_reads(mapped_reads, unmapped_reads,
+                                            read_length, return_paths=True)
+        if not selected:
+            return None
+        from advntr_tpu.engine import analytics as an
+
+        mutations: dict[str, int] = {}
+        repeating_bps_in_data = 0
+        pattern_len = len(self.reference_vntr.pattern)
+        for read in selected:
+            length = len(read.sequence)
+            path = stats["path"][read.row][:length]
+            visited = expand_path(art, path)
+            lengths_per_unit = an.repeating_pattern_lengths(visited)
+            repeating_bps_in_data += read.repeat_bp
+            current_repeat = None
+            for i, vs in enumerate(visited):
+                if vs.endswith("fix") or vs.startswith("M"):
+                    continue
+                if vs.startswith("unit_start"):
+                    current_repeat = 0 if current_repeat is None \
+                        else current_repeat + 1
+                if current_repeat is None or \
+                        current_repeat >= len(lengths_per_unit):
+                    continue
+                if not vs.startswith("I") and not vs.startswith("D"):
+                    continue
+                if lengths_per_unit[current_repeat] == pattern_len:
+                    continue
+                state = vs.split("_")[0]
+                if state.startswith("I"):
+                    emitted = an.emitted_base_for_state(vs, visited,
+                                                       read.sequence)
+                    state += emitted or ""
+                if abs(lengths_per_unit[current_repeat] - pattern_len) <= 2:
+                    mutations[state] = mutations.get(state, 0) + 1
+
+        sorted_mutations = sorted(mutations.items(), key=lambda x: x[1])
+        candidate = sorted_mutations[-1] if sorted_mutations else (None, 0)
+        avg_bp_coverage = (repeating_bps_in_data /
+                           self.reference_vntr.get_length() / 2)
+        if avg_bp_coverage == 0:
+            return None
+        expected_indels = 1 / avg_bp_coverage
+        if identify_frameshift(avg_bp_coverage, candidate[1], expected_indels):
+            return candidate[0]
+        return None
+
+
+    # -- PacBio path (reference: vntr_finder.py:324-471, 534-665) ------------
+
+    def _check_flanks_align(self, read_str: str, name: str,
+                            spanning: list, length_dist: list,
+                            flank_size: int = 100) -> None:
+        """Anchor both 100bp flanks inside a long read by local alignment;
+        on success, record the trimmed VNTR+-flank window
+        (reference semantics: check_if_flanking_regions_align_to_str,
+        vntr_finder.py:324-365)."""
+        from advntr_tpu.ops.align import local_align
+        left = self.reference_vntr.left_flanking_region[-flank_size:]
+        right = self.reference_vntr.right_flanking_region[:flank_size]
+        min_score_l = len(left) * (1 - self.config.max_error_rate)
+        score_l, start_l, _ = local_align(read_str, left)
+        if score_l < min_score_l:
+            return
+        min_score_r = len(right) * (1 - self.config.max_error_rate)
+        score_r, start_r, _ = local_align(read_str, right)
+        if score_r < min_score_r:
+            return
+        if start_r < start_l:
+            return
+        spanning.append((name, read_str[start_l:start_r + flank_size]))
+        length_dist.append(start_r - (start_l + flank_size))
+
+    def get_spanning_reads_of_unaligned_pacbio_reads(self, unmapped_reads):
+        spanning: list = []
+        length_dist: list = []
+        for name, seq in unmapped_reads:
+            seq = seq.upper()
+            self._check_flanks_align(seq, name, spanning, length_dist)
+            self._check_flanks_align(dna.revcomp(seq), name, spanning,
+                                     length_dist)
+        logging.info("length_distribution of unmapped spanning reads: %s",
+                     length_dist)
+        return spanning, length_dist
+
+    def get_spanning_reads_of_aligned_pacbio_reads(self, bam):
+        """Extract VNTR-spanning windows from aligned long reads by walking
+        aligned reference positions (reference semantics:
+        check_if_pacbio_mapped_read_spans_vntr, vntr_finder.py:373-420)."""
+        from advntr_tpu.io.bam import get_reference_genome_style
+        hmm_flank = 100
+        min_flanking_bp = 10
+        vntr_start, vntr_end = self.vntr_start, self.vntr_end
+        region_start = vntr_start - hmm_flank
+        style = get_reference_genome_style(bam.references)
+        chromosome = (self.reference_vntr.chromosome if style == "HG19"
+                      else self.reference_vntr.chromosome[3:])
+        spanning = []
+        for read in bam.fetch(chromosome, vntr_start, vntr_end):
+            positions = read.get_reference_positions()
+            if not positions:
+                continue
+            if not (positions[0] <= vntr_start - min_flanking_bp
+                    and vntr_end + min_flanking_bp < positions[-1]):
+                continue
+            read_region_start = read_region_end = None
+            left_bp = right_bp = 0
+            for read_pos, ref_pos in enumerate(
+                    read.get_reference_positions(full_length=True)):
+                if ref_pos is None:
+                    continue
+                if ref_pos > vntr_end + hmm_flank:
+                    break
+                if region_start <= ref_pos < vntr_end + hmm_flank:
+                    if region_start <= ref_pos < vntr_start:
+                        if read_region_start is None:
+                            read_region_start = read_pos
+                        left_bp += 1
+                    elif vntr_start <= ref_pos < vntr_end:
+                        pass
+                    else:
+                        if read_region_end is None:
+                            read_region_end = read_pos
+                        right_bp += 1
+            if left_bp < min_flanking_bp or right_bp < min_flanking_bp:
+                continue
+            if read_region_start is not None and read_region_end is not None \
+                    and read.seq:
+                seq = read.seq[read_region_start:read_region_end + right_bp]
+                spanning.append((read.query_name, seq))
+        return spanning
+
+    def get_dominant_copy_numbers_from_spanning_reads(
+            self, spanning_reads, accuracy_filter: bool = False):
+        """Viterbi-decode each spanning window against a max-copies model and
+        genotype the observed RU counts (reference semantics:
+        vntr_finder.py:534-585)."""
+        if len(spanning_reads) < 1:
+            logging.info("There is no spanning read")
+            return None, 0
+        max_length = 0
+        for _, seq in spanning_reads:
+            if len(seq) - 100 > max_length:
+                max_length = len(seq) - 100
+        max_copies = int(round(max_length /
+                               float(len(self.reference_vntr.pattern))))
+        max_copies = max(max_copies, 1)
+        if accuracy_filter:
+            self.minimum_left_flanking_size = \
+                self.config.accuracy_filter_min_left_flanking_size
+            self.minimum_right_flanking_size = \
+                self.config.accuracy_filter_min_right_flanking_size
+        model = self.get_model(read_length=0, copies=max_copies,
+                               flank_size=100)
+        scored, _ = self.score_reads(spanning_reads, [], read_length=0,
+                                     model=model)
+        observed = [r.repeats for r in scored if np.isfinite(r.logp)]
+        logging.info("observed repeats: %s", observed)
+        if accuracy_filter:
+            observed = _filter_by_support(
+                observed, self.config.accuracy_filter_sr_min_support)
+        return find_genotype(observed, self.is_haploid,
+                             self.config.genotype_error_rate)
+
+    def get_haplotype_copy_numbers_from_spanning_reads(self, spanning_reads):
+        """Cluster spanning reads into haplotypes, decode the consensus of
+        each (reference semantics: vntr_finder.py:588-609)."""
+        from advntr_tpu.engine.haplotyper import PacBioHaplotyper
+        if len(spanning_reads) < 1:
+            return None
+        max_length = 0
+        for _, seq in spanning_reads:
+            if len(seq) - 100 > max_length:
+                max_length = len(seq) - 100
+        max_copies = int(round(max_length /
+                               float(len(self.reference_vntr.pattern))))
+        max_copies = min(max(max_copies, 1),
+                         2 * len(self.reference_vntr.get_repeat_segments()))
+        model = self.get_model(read_length=0, copies=max_copies,
+                               flank_size=100)
+        haplotyper = PacBioHaplotyper([seq for _, seq in spanning_reads])
+        haplotypes = haplotyper.get_error_corrected_haplotypes()
+        if not haplotypes:
+            return None
+        scored, _ = self.score_reads(
+            [], [(f"hap{i}", h) for i, h in enumerate(haplotypes)],
+            read_length=0, model=model)
+        return [r.repeats for r in scored]
+
+    def find_ru_counts_with_naive_approach(self, spanning_reads):
+        """RU count from the flank-to-flank distance of the error-corrected
+        consensus (reference semantics: vntr_finder.py:611-624)."""
+        from advntr_tpu.engine.haplotyper import PacBioHaplotyper
+        haplotyper = PacBioHaplotyper([seq for _, seq in spanning_reads])
+        haplotypes = haplotyper.get_error_corrected_haplotypes(1)
+        if len(haplotypes) == 0:
+            return None
+        flanking_lengths: list = []
+        dummy: list = []
+        self._check_flanks_align(haplotypes[0].upper(), "consensus",
+                                 dummy, flanking_lengths)
+        self._check_flanks_align(dna.revcomp(haplotypes[0]).upper(),
+                                 "consensus", dummy, flanking_lengths)
+        if flanking_lengths:
+            ru = round(flanking_lengths[0] / len(self.reference_vntr.pattern))
+            return (ru, ru)
+        return None
+
+    def find_repeat_count_pacbio(self, bam, unmapped_reads,
+                                 accuracy_filter: bool = False,
+                                 naive: bool = False) -> GenotypeResult:
+        """PacBio genotyping from an optional alignment plus recruited
+        unmapped reads (reference: vntr_finder.py:639-665)."""
+        spanning, length_dist = \
+            self.get_spanning_reads_of_unaligned_pacbio_reads(unmapped_reads)
+        if bam is not None:
+            spanning = self.get_spanning_reads_of_aligned_pacbio_reads(bam) \
+                + spanning
+        max_prob = 0
+        if naive:
+            copy_numbers = self.find_ru_counts_with_naive_approach(spanning) \
+                if spanning else None
+        else:
+            copy_numbers, max_prob = \
+                self.get_dominant_copy_numbers_from_spanning_reads(
+                    spanning, accuracy_filter)
+        return GenotypeResult(copy_numbers, len(spanning), len(spanning), 0,
+                              max_prob)
+
+
+def _filter_by_support(counts: list[int], min_support: int) -> list[int]:
+    from collections import Counter
+    out = []
+    for key, cnt in Counter(counts).most_common():
+        if cnt >= min_support:
+            out.extend([key] * cnt)
+    return out

@@ -1,0 +1,56 @@
+"""Per-locus recruitment keyword generation and filter orchestration.
+
+Reference semantics: VNTRFinder.get_keywords_for_filtering
+(vntr_finder.py:140-154) — 15-char flank margins around the tandem array,
+keywords sampled every 5 bases (6 when the motif is exactly 5bp); for long
+reads the keywords are the 80bp flank substrings instead.
+"""
+
+from __future__ import annotations
+
+from advntr_tpu.ops.kmer_filter import RecruitmentFilter
+
+
+def keywords_for_locus(ref_vntr, short_reads: bool = True,
+                       keyword_size: int = 21) -> set[str]:
+    vntr = "".join(ref_vntr.get_repeat_segments())
+    if len(vntr) < keyword_size:
+        min_copies = int(keyword_size / len(vntr)) + 1
+        vntr = vntr * min_copies
+    locus = (ref_vntr.left_flanking_region[-15:] + vntr +
+             ref_vntr.right_flanking_region[:15])
+    step_size = 5 if len(ref_vntr.pattern) != 5 else 6
+    queries = [locus[i:i + keyword_size]
+               for i in range(0, len(locus) - keyword_size + 1, step_size)]
+    if not short_reads:
+        queries = [ref_vntr.left_flanking_region[-80:],
+                   ref_vntr.right_flanking_region[:80]]
+    return set(queries)
+
+
+def build_recruitment_filter(ref_vntrs, target_ids, short_reads: bool = True,
+                             keyword_size: int = 15, min_matches: int = 5,
+                             max_reads_per_locus: int = 2000
+                             ) -> RecruitmentFilter:
+    keywords = {}
+    by_id = {v.id: v for v in ref_vntrs}
+    for vid in target_ids:
+        keywords[vid] = keywords_for_locus(by_id[vid], short_reads,
+                                           keyword_size)
+    k = min(keyword_size, 15)
+    return RecruitmentFilter(keywords, k=k, min_matches=min_matches,
+                             max_reads_per_locus=max_reads_per_locus)
+
+
+def filter_reads(filt: RecruitmentFilter, read_iter, batch_size: int = 1024):
+    """Stream (name, seq) pairs through the filter in batches."""
+    names, seqs = [], []
+    for name, seq in read_iter:
+        names.append(name)
+        seqs.append(seq)
+        if len(names) >= batch_size:
+            filt.process_batch(names, seqs)
+            names, seqs = [], []
+    if names:
+        filt.process_batch(names, seqs)
+    return filt.results()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: Viterbi read-decodes/sec/chip on the flagship genotyping kernel.
+
+Compares the fused device kernel (batched Viterbi + traceback + per-read
+analytics) against the reference-style CPU engine (native C++ sparse-graph
+Viterbi with silent states, the same recurrence as the reference's Cython
+kernel) on a CSTB-like locus at Illumina read length.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def build_locus(read_length=150):
+    from advntr_tpu.engine import device_analytics as da
+    from advntr_tpu.engine.finder import _pad_artifact
+    from advntr_tpu.models.compiler import compile_graph
+    from advntr_tpu.models.graph import build_read_matcher
+    from advntr_tpu.models.profile import profile_for_repeats
+
+    pattern = "CGCGGGGCGGGG"  # CSTB dodecamer
+    rng = random.Random(42)
+    left = "".join(rng.choice("ACGT") for _ in range(read_length))
+    right = "".join(rng.choice("ACGT") for _ in range(read_length))
+    copies = int(round(read_length / len(pattern) + 0.5))
+    trans, emis = profile_for_repeats([pattern] * 3, 0.05)
+    graph = build_read_matcher(left, right, trans, emis, copies, 0.05)
+    art = compile_graph(graph)
+    n_pad = ((art.n_states + 127) // 128) * 128
+    model = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
+    return graph, art, model, left, right, pattern
+
+
+def simulate_reads(left, pattern, right, read_length, n_reads, seed=9):
+    from advntr_tpu.engine.simulate import haplotype_sequence, mutate
+    rng = random.Random(seed)
+    reads = []
+    for _ in range(n_reads):
+        copies = rng.choice([2, 5])
+        hap = haplotype_sequence(left, pattern, copies, right)
+        start = rng.randint(0, len(hap) - read_length)
+        reads.append(mutate(hap[start:start + read_length], 0.003, rng))
+    return reads
+
+
+def main():
+    read_length = 150
+    B = 512
+    graph, art, model, left, right, pattern = build_locus(read_length)
+    reads = simulate_reads(left, pattern, right, read_length, B)
+
+    from advntr_tpu import dna
+    from advntr_tpu.engine import device_analytics as da
+    import jax
+
+    rows = [dna.encode(r) for r in reads]
+    batch, lengths = dna.pad_batch(rows, pad_to=read_length, multiple=32)
+    import jax.numpy as jnp
+    batch_d = jnp.asarray(batch)
+    lengths_d = jnp.asarray(lengths)
+    arrays = model.flat()
+
+    # warmup/compile
+    out = da.read_stats(arrays, batch_d, lengths_d)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = da.read_stats(arrays, batch_d, lengths_d)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+    device_rate = B * iters / (t1 - t0)
+
+    # CPU baseline: reference-style sparse Viterbi (C++), single core
+    from advntr_tpu.native_bridge import SparseViterbiModel
+    cpu_model = SparseViterbiModel(graph)
+    n_cpu = 12
+    t0 = time.perf_counter()
+    for r in rows[:n_cpu]:
+        cpu_model.viterbi(r)
+    t1 = time.perf_counter()
+    cpu_rate = n_cpu / (t1 - t0)
+
+    result = {
+        "metric": "viterbi_read_decodes_per_sec_per_chip",
+        "value": round(device_rate, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(device_rate / cpu_rate, 2),
+    }
+    print(json.dumps(result))
+    print(f"# device: {jax.devices()[0].platform} "
+          f"n_states={art.n_states} B={B} L={read_length} "
+          f"cpu_baseline={cpu_rate:.1f} reads/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ from advntr_tpu.config import Config, DEFAULT_CONFIG
 from advntr_tpu.engine.finder import VNTRFinder, GenotypeResult
 from advntr_tpu.engine.recruitment import build_recruitment_filter, filter_reads
 from advntr_tpu.io.bam import BamReader, get_reference_genome_style
+from advntr_tpu.io.sam import open_alignment
 from advntr_tpu.utils.profiler import time_usage
 from advntr_tpu.utils.quality import is_low_quality_read
 
@@ -178,7 +179,7 @@ class GenomeAnalyzer:
             max_reads_per_locus=self.config.max_reads_per_locus)
 
         def unmapped_iter():
-            with BamReader(alignment_file) as bam:
+            with open_alignment(alignment_file) as bam:
                 for rec in bam.fetch_unmapped():
                     yield rec.query_name, rec.seq
 
@@ -242,7 +243,7 @@ class GenomeAnalyzer:
         unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                       illumina=True)
         self._emit_header()
-        with BamReader(alignment_file) as bam:
+        with open_alignment(alignment_file) as bam:
             read_length = self._median_read_length(bam)
             for vid in self.target_vntr_ids:
                 finder = self.vntr_finder[vid]
@@ -252,7 +253,8 @@ class GenomeAnalyzer:
                         mapped, unmapped_by_vid[vid],
                         read_length=read_length,
                         accuracy_filter=accuracy_filter,
-                        average_coverage=average_coverage)
+                        average_coverage=average_coverage,
+                        update=update)
                     self.print_genotype(vid, result)
                 except Exception as error:  # per-locus isolation
                     logging.error(
@@ -264,7 +266,7 @@ class GenomeAnalyzer:
     def find_frameshift_from_alignment_file(self, alignment_file: str) -> None:
         unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                       illumina=True)
-        with BamReader(alignment_file) as bam:
+        with open_alignment(alignment_file) as bam:
             read_length = self._median_read_length(bam)
             for vid in self.target_vntr_ids:
                 finder = self.vntr_finder[vid]
@@ -284,7 +286,7 @@ class GenomeAnalyzer:
         unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                       illumina=False)
         self._emit_header()
-        with BamReader(alignment_file) as bam:
+        with open_alignment(alignment_file) as bam:
             for vid in self.target_vntr_ids:
                 finder = self.vntr_finder[vid]
                 try:

@@ -272,9 +272,9 @@ class VNTRFinder:
     # -- top-level Illumina genotyping ---------------------------------------
 
     def select_reads(self, mapped_reads, unmapped_reads, read_length: int,
-                     return_paths: bool = False):
+                     return_paths: bool = False, model=None):
         scored, stats = self.score_reads(mapped_reads, unmapped_reads,
-                                         read_length,
+                                         read_length, model=model,
                                          return_paths=return_paths)
         min_score = self.recruitment_score_threshold(read_length)
         selected = []
@@ -287,18 +287,88 @@ class VNTRFinder:
                 selected.append(read)
         return selected, stats
 
+    # -- model updating (reference: iteratively_update_model,
+    #    vntr_finder.py:668-698) ---------------------------------------------
+
+    def rebuild_model_from_vpaths(self, seq_vpaths, read_length: int):
+        """Re-estimate the repeat profile from the MSA of decoded unit paths
+        and rebuild the read-matcher model (the --update path; the reference
+        builds it via get_read_matcher_model(..., vpaths),
+        hmm_utils.py:553-555 + profile_hmm.py:13)."""
+        from advntr_tpu.engine import analytics as an
+        from advntr_tpu.models.msa import msa_from_viterbi_paths
+        from advntr_tpu.models.profile import profile_from_alignment
+
+        repeats_sequences: list[str] = []
+        repeats_states: list[list[str]] = []
+        for seq, visited in seq_vpaths:
+            reps, vps = an.extract_repeating_segments(seq, visited)
+            repeats_sequences += reps
+            repeats_states += vps
+        if not repeats_sequences:
+            return None
+        alignment = msa_from_viterbi_paths(repeats_sequences, repeats_states)
+        trans, emis = profile_from_alignment(self.config.max_error_rate,
+                                             alignment)
+        flank_size = read_length
+        left = self.reference_vntr.left_flanking_region[-flank_size:]
+        right = self.reference_vntr.right_flanking_region[:flank_size]
+        copies = self.get_copies_for_hmm(read_length)
+        g = build_read_matcher(left, right, trans, emis, copies,
+                               self.config.max_error_rate)
+        art = compile_graph(g)
+        n_pad = _round_up(art.n_states, self.cache.state_bucket)
+        model = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
+        return (art, model)
+
+    def update_and_reselect(self, mapped_reads, unmapped_reads,
+                            read_length: int):
+        """One model-update iteration: decode selected reads + reference
+        repeat units, re-estimate, re-select (the reference's loop
+        effectively runs a single iteration: its fitness is computed from
+        the pre-update read set and never changes, vntr_finder.py:692-695)."""
+        art, _ = self.get_model(read_length)
+        selected, stats = self.select_reads(mapped_reads, unmapped_reads,
+                                            read_length, return_paths=True)
+        seq_vpaths = []
+        for read in selected:
+            path = stats["path"][read.row][: len(read.sequence)]
+            seq_vpaths.append((read.sequence, expand_path(art, path)))
+        # the reference repeat segments join the update set
+        # (vntr_finder.py:673-677)
+        ref_repeats = [(f"ref{i}", s.upper()) for i, s in
+                       enumerate(self.reference_vntr.get_repeat_segments())]
+        ref_scored, ref_stats = self.score_reads(
+            ref_repeats, [], read_length, return_paths=True)
+        for read in ref_scored:
+            if not np.isfinite(read.logp):
+                continue
+            path = ref_stats["path"][read.row][: len(read.sequence)]
+            seq_vpaths.append((read.sequence, expand_path(art, path)))
+        updated = self.rebuild_model_from_vpaths(seq_vpaths, read_length)
+        if updated is None:
+            return selected
+        new_selected, _ = self.select_reads(mapped_reads, unmapped_reads,
+                                            read_length, model=updated)
+        return new_selected
+
     def find_repeat_count(self, mapped_reads, unmapped_reads,
                           read_length: int | None = None,
                           accuracy_filter: bool = False,
-                          average_coverage=None) -> GenotypeResult:
+                          average_coverage=None,
+                          update: bool = False) -> GenotypeResult:
         """Genotype from candidate reads
         (reference: find_repeat_count_from_alignment_file,
         vntr_finder.py:789-887)."""
         if read_length is None:
             lens = sorted(len(s) for _, s in (mapped_reads + unmapped_reads)[:5])
             read_length = lens[len(lens) // 2] if lens else 150
-        selected, _ = self.select_reads(mapped_reads, unmapped_reads,
-                                        read_length)
+        if update:
+            selected = self.update_and_reselect(mapped_reads, unmapped_reads,
+                                                read_length)
+        else:
+            selected, _ = self.select_reads(mapped_reads, unmapped_reads,
+                                            read_length)
         covered_repeats = []
         flanking_repeats = []
         total_counted_vntr_bp = 0

@@ -60,6 +60,13 @@ def viterbi_batch(log_T, log_E, log_start, log_end, seqs, lengths,
                   return_path: bool = True):
     """Batched Viterbi.
 
+    TPU-oriented structure: the forward scan performs ONE fused
+    broadcast+max reduction per symbol (no argmax, no gathers) and stores
+    the value planes; the traceback re-derives each argmax on the single
+    visited state per step — O(n) instead of O(n^2) — from the stored
+    planes.  This keeps the forward pass at one streaming pass over
+    (B, n, n) per step and avoids materializing (L, B, n) argmax tensors.
+
     Args:
       log_T: (n, n) float32 effective transitions (log), -inf -> use ~-1e30
       log_E: (n, 4) float32 emissions (log)
@@ -74,58 +81,54 @@ def viterbi_batch(log_T, log_E, log_start, log_end, seqs, lengths,
     n = log_T.shape[0]
     seqs = seqs.astype(jnp.int32)
 
-    emis = jnp.take(log_E, seqs.T, axis=1)          # (n, L, B) -> per-t below
+    emis = jnp.take(log_E, seqs.T, axis=1)          # (n, L, B)
     emis = jnp.transpose(emis, (1, 2, 0))           # (L, B, n)
 
     v0 = log_start[None, :] + emis[0]               # (B, n)
     finals0 = jnp.max(v0 + log_end[None, :], axis=1)
-    ends0 = jnp.argmax(v0 + log_end[None, :], axis=1).astype(jnp.int32)
 
     def step(carry, inputs):
-        v, best, end_state = carry
+        v, best = carry
         emis_t, t = inputs
-        # new_v[b, j] = max_i v[b, i] + T[i, j]
-        scores = v[:, :, None] + log_T[None, :, :]          # (B, n, n)
-        arg = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (B, n)
-        mx = jnp.take_along_axis(scores, arg[:, None, :], axis=1)[:, 0, :]
-        new_v = mx + emis_t
-        # freeze the lattice past each read's end
+        # new_v[b, j] = max_i v[b, i] + T[i, j]  (single fused reduction)
+        new_v = jnp.max(v[:, :, None] + log_T[None, :, :], axis=1) + emis_t
         active = (t < lengths)[:, None]
         new_v = jnp.where(active, new_v, v)
-        # latch the final score at each read's last position
         fin = jnp.max(new_v + log_end[None, :], axis=1)
-        es = jnp.argmax(new_v + log_end[None, :], axis=1).astype(jnp.int32)
-        is_last = (t == lengths - 1)
-        best = jnp.where(is_last, fin, best)
-        end_state = jnp.where(is_last, es, end_state)
-        return (new_v, best, end_state), arg
+        best = jnp.where(t == lengths - 1, fin, best)
+        return (new_v, best), v
 
     ts = jnp.arange(1, L, dtype=jnp.int32)
-    (vF, best, end_state), args = jax.lax.scan(
-        step, (v0, finals0, ends0), (emis[1:], ts))
-    # reads of length L never latched inside the scan for t == L-1? They did:
-    # t runs to L-1 and lengths-1 <= L-1.  Reads of length 1 latched at t=0
-    # via finals0/ends0 initialization.
+    (vF, best), v_planes = jax.lax.scan(step, (v0, finals0), (emis[1:], ts))
+    # v_planes[k] = values at column k (0-based symbol index), k = 0..L-2;
+    # vF = values at column L-1 (frozen at each read's own last column)
 
     if not return_path:
-        return best, end_state, None
+        return best, None, None
 
-    # ---- traceback ----
+    # ---- traceback by argmax re-derivation -------------------------------
+    # end state: argmax_j vF[j] + log_end[j]; vF is frozen at column
+    # lengths-1 for each read, so it is each read's own final column.
+    end_state = jnp.argmax(vF + log_end[None, :], axis=1).astype(jnp.int32)
+
+    log_T_t = log_T.T  # (j, i): row j = in-edge weights of state j
+
     def back_step(cur, inputs):
-        arg_t, t = inputs
-        # reset the cursor at each read's last position
-        cur = jnp.where(t == lengths - 1, end_state, cur)
-        emit = cur
-        prev = jnp.take_along_axis(arg_t, cur[:, None], axis=1)[:, 0]
-        return prev, emit
+        v_prev, t = inputs
+        # moving from column t to t-1: prev = argmax_i v_prev[i] + T[i, cur]
+        prev = jnp.argmax(v_prev + jnp.take(log_T_t, cur, axis=0),
+                          axis=1).astype(jnp.int32)
+        active = (t <= lengths - 1)
+        new_cur = jnp.where(active, prev, cur)
+        return new_cur, cur
 
     ts_rev = jnp.arange(L - 1, 0, -1, dtype=jnp.int32)
-    cur0 = jnp.where(lengths == L, end_state, jnp.zeros_like(end_state))
-    cur_last, emits = jax.lax.scan(back_step, cur0, (args[::-1], ts_rev))
-    # emits[k] = path at position L-1-k for k=0..L-2; cur_last = path[0]
-    path = jnp.concatenate([cur_last[:, None], emits[::-1].T], axis=1)
-    # for reads shorter than L, positions >= length are garbage; also a
-    # length-1 read's path[0] must be its end state
+    cur_last, emitted = jax.lax.scan(
+        back_step, end_state, (v_planes[::-1], ts_rev))
+    # emitted[k] = state at column L-1-k when that column <= read's last;
+    # but frozen columns emit end_state repeatedly, which is fine because
+    # positions >= length are ignored downstream.
+    path = jnp.concatenate([cur_last[:, None], emitted[::-1].T], axis=1)
     path = jnp.where((lengths == 1)[:, None],
                      jnp.broadcast_to(end_state[:, None], path.shape), path)
     return best, end_state, path

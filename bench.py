@@ -69,13 +69,15 @@ def main():
 
     # warmup/compile
     out = da.read_stats(arrays, batch_d, lengths_d)
-    jax.block_until_ready(out)
+    _ = np.asarray(out["logp"])
 
-    iters = 10
+    # NOTE: a host transfer of a result each iteration is the sync point —
+    # on the axon tunnel, block_until_ready alone does not actually wait.
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = da.read_stats(arrays, batch_d, lengths_d)
-    jax.block_until_ready(out)
+        _ = np.asarray(out["logp"])
     t1 = time.perf_counter()
     device_rate = B * iters / (t1 - t0)
 

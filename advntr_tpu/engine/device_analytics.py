@@ -61,7 +61,7 @@ class DeviceModel:
 
 @functools.partial(jax.jit, static_argnames=("return_path",))
 def read_stats(model_arrays, seqs, lengths, return_path: bool = False):
-    """Fused Viterbi + analytics.
+    """Fused Viterbi + analytics (dense eliminated kernel).
 
     Args:
       model_arrays: DeviceModel.flat() tuple
@@ -73,10 +73,20 @@ def read_stats(model_arrays, seqs, lengths, return_path: bool = False):
     """
     (log_T, log_E, log_start, log_end, kind, region, exp_base,
      t_us, t_ue, s_us, s_ue, e_us, e_ue) = model_arrays
-    B, L = seqs.shape
     seqs = seqs.astype(jnp.int32)
     logp, end_state, path = viterbi_batch(log_T, log_E, log_start, log_end,
                                           seqs, lengths, return_path=True)
+    return analytics_from_path(model_arrays[4:], logp, path, seqs, lengths,
+                               return_path=return_path)
+
+
+def analytics_from_path(meta_arrays, logp, path, seqs, lengths,
+                        return_path: bool = False):
+    """Vectorized per-read statistics from a decoded path (artifact-space
+    state indices) + compiled metadata tables."""
+    (kind, region, exp_base, t_us, t_ue, s_us, s_ue, e_us, e_ue) = meta_arrays
+    B, L = seqs.shape
+    seqs = seqs.astype(jnp.int32)
 
     tpos = jnp.arange(L, dtype=jnp.int32)[None, :]          # (1, L)
     valid = tpos < lengths[:, None]                          # (B, L)
@@ -158,6 +168,17 @@ def read_stats(model_arrays, seqs, lengths, return_path: bool = False):
     if return_path:
         out["path"] = path
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("suffix_last", "return_path"))
+def read_stats_struct(struct_arrays, meta_arrays, seqs, lengths,
+                      suffix_last: int, return_path: bool = False):
+    """Fused Viterbi + analytics via the structured O(n)-per-step kernel."""
+    from advntr_tpu.ops.viterbi_struct import viterbi_struct_batch
+    logp, _, path = viterbi_struct_batch(struct_arrays, seqs, lengths,
+                                         suffix_last, return_path=True)
+    return analytics_from_path(meta_arrays, logp, path, seqs, lengths,
+                               return_path=return_path)
 
 
 def flank_rates(stats: dict, accuracy_filter: bool = False) -> np.ndarray:

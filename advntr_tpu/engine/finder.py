@@ -54,20 +54,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@dataclasses.dataclass
+class LocusModel:
+    """Everything score_reads needs for one compiled locus model."""
+    art: object                    # unpadded ModelArtifact (decode tables)
+    meta: tuple                    # analytics tensors (artifact space)
+    struct: object | None          # padded StructDeviceModel
+    suffix_last: int
+    dense: object | None = None    # DeviceModel fallback (built lazily)
+
+
 class LocusModelCache:
     """Per-(locus, read-length-bucket) compiled model cache.
 
-    Pads state count and batch length to buckets so XLA compiles one
+    Pads the structured position/unit axes to buckets so XLA compiles one
     executable per bucket, not per locus (the reference re-builds a
     pomegranate model per locus and read length, vntr_finder.py:117-138).
     """
 
-    def __init__(self, state_bucket: int = 128, pad_states: bool = True):
+    def __init__(self, state_bucket: int = 128, pos_bucket: int = 128,
+                 unit_bucket: int = 8, use_struct: bool = True):
         self.state_bucket = state_bucket
-        self.pad_states = pad_states
+        self.pos_bucket = pos_bucket
+        self.unit_bucket = unit_bucket
+        self.use_struct = use_struct
         self._cache: dict = {}
 
-    def get(self, ref_vntr, copies: int, flank_size: int, error_rate: float):
+    def get(self, ref_vntr, copies: int, flank_size: int,
+            error_rate: float) -> LocusModel:
         key = (ref_vntr.id, copies, flank_size, error_rate)
         if key not in self._cache:
             left = ref_vntr.left_flanking_region[-flank_size:]
@@ -77,11 +91,34 @@ class LocusModelCache:
             g = build_read_matcher(left, right, trans, emis, copies,
                                    error_rate)
             art = compile_graph(g)
-            n_pad = (_round_up(art.n_states, self.state_bucket)
-                     if self.pad_states else art.n_states)
-            model = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
-            self._cache[key] = (art, model)
+            self._cache[key] = self._build(g, art)
         return self._cache[key]
+
+    def _build(self, g, art) -> LocusModel:
+        import jax.numpy as jnp
+        meta = (jnp.asarray(art.kind), jnp.asarray(art.region),
+                jnp.asarray(art.exp_base),
+                jnp.asarray(art.t_unit_starts), jnp.asarray(art.t_unit_ends),
+                jnp.asarray(art.s_unit_starts), jnp.asarray(art.s_unit_ends),
+                jnp.asarray(art.e_unit_starts), jnp.asarray(art.e_unit_ends))
+        struct = None
+        suffix_last = -1
+        if self.use_struct:
+            from advntr_tpu.models.struct_compiler import (
+                build_structured, pad_structured)
+            from advntr_tpu.ops.viterbi_struct import StructDeviceModel
+            sm = build_structured(g, art)
+            P_pad = _round_up(sm.P + 1, self.pos_bucket)
+            C_pad = _round_up(sm.C, self.unit_bucket)
+            sm = pad_structured(sm, art, P_pad, C_pad)
+            struct = StructDeviceModel.from_struct(sm, art)
+            suffix_last = sm.suffix_last
+        dense = None
+        if struct is None:
+            n_pad = _round_up(art.n_states, self.state_bucket)
+            dense = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
+        return LocusModel(art=art, meta=meta, struct=struct,
+                          suffix_last=suffix_last, dense=dense)
 
 
 def _pad_artifact(art, n_pad: int):
@@ -175,7 +212,7 @@ class VNTRFinder:
         Returns a list of ScoredRead (one per input read, skipping reads
         containing N), plus the raw device stats when return_paths.
         """
-        _, dev_model = model if model else self.get_model(read_length)
+        lm = model if model is not None else self.get_model(read_length)
 
         rows: list[np.ndarray] = []
         row_info = []  # (read_index, orientation)
@@ -204,7 +241,7 @@ class VNTRFinder:
 
         batch, lengths = dna.pad_batch(rows, multiple=length_bucket)
         # pad the batch axis to the next power of two so XLA compiles one
-        # executable per (n_states, L, B) bucket instead of per call
+        # executable per (model bucket, L, B) bucket instead of per call
         b_pad = 1 << (len(rows) - 1).bit_length()
         if b_pad != len(rows):
             batch = np.concatenate(
@@ -212,9 +249,15 @@ class VNTRFinder:
                                  dtype=batch.dtype)])
             lengths = np.concatenate(
                 [lengths, np.ones(b_pad - len(rows), dtype=lengths.dtype)])
-        stats = da.read_stats(dev_model.flat(), jnp.asarray(batch),
-                              jnp.asarray(lengths),
-                              return_path=return_paths)
+        if lm.struct is not None:
+            stats = da.read_stats_struct(
+                lm.struct.flat(), lm.meta, jnp.asarray(batch),
+                jnp.asarray(lengths), lm.suffix_last,
+                return_path=return_paths)
+        else:
+            stats = da.read_stats(lm.dense.flat(), jnp.asarray(batch),
+                                  jnp.asarray(lengths),
+                                  return_path=return_paths)
         stats = {k: np.asarray(v) for k, v in stats.items()}
         rates = da.flank_rates(stats, accuracy_filter=False)
         rates_strict = rates  # strict variant differs only when a flank is
@@ -317,9 +360,7 @@ class VNTRFinder:
         g = build_read_matcher(left, right, trans, emis, copies,
                                self.config.max_error_rate)
         art = compile_graph(g)
-        n_pad = _round_up(art.n_states, self.cache.state_bucket)
-        model = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
-        return (art, model)
+        return self.cache._build(g, art)
 
     def update_and_reselect(self, mapped_reads, unmapped_reads,
                             read_length: int):
@@ -327,7 +368,7 @@ class VNTRFinder:
         repeat units, re-estimate, re-select (the reference's loop
         effectively runs a single iteration: its fitness is computed from
         the pre-update read set and never changes, vntr_finder.py:692-695)."""
-        art, _ = self.get_model(read_length)
+        art = self.get_model(read_length).art
         selected, stats = self.select_reads(mapped_reads, unmapped_reads,
                                             read_length, return_paths=True)
         seq_vpaths = []
@@ -417,7 +458,7 @@ class VNTRFinder:
         if read_length is None:
             lens = sorted(len(s) for _, s in (mapped_reads + unmapped_reads)[:5])
             read_length = lens[len(lens) // 2] if lens else 150
-        art, _ = self.get_model(read_length)
+        art = self.get_model(read_length).art
         selected, stats = self.select_reads(mapped_reads, unmapped_reads,
                                             read_length, return_paths=True)
         if not selected:

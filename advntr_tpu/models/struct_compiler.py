@@ -216,3 +216,86 @@ def build_structured(graph, art) -> StructModel:
         suffix_last=suffix_last,
         M_start=M_start, I_start=I_start, I0_start=I0_start, perm=perm,
         struct_to_art=struct_to_art, log_end_struct=log_end_struct)
+
+
+def pad_structured(sm: StructModel, art, P_pad: int, C_pad: int) -> StructModel:
+    """Pad a structured model to bucket dimensions so one compiled kernel
+    serves every locus in the bucket.
+
+    Padding positions are unreachable (-inf parameters) appended after the
+    prefix; padded fake units point their unit_last at a padded position so
+    their block-exit weight is -inf.  Requires P_pad > P when C_pad > C.
+    """
+    P, C, nb = sm.P, sm.C, sm.nb
+    if P_pad == P and C_pad == C:
+        return sm
+    assert P_pad >= P and C_pad >= C
+    if C_pad > C:
+        assert P_pad > P, "need at least one dummy position for fake units"
+    nb_pad = C_pad + 2
+
+    def padP(x):
+        out = np.full(P_pad, NEG)
+        out[:P] = x
+        return out
+
+    def padNb(x):
+        # block order: [suffix, unit_0..C-1, (fake units), prefix]
+        out = np.full(nb_pad, NEG)
+        out[: 1 + C] = x[: 1 + C]
+        out[nb_pad - 1] = x[nb - 1]
+        return out
+
+    def padP4(x):
+        out = np.full((P_pad, 4), NEG)
+        out[:P] = x
+        return out
+
+    def padNb4(x):
+        out = np.full((nb_pad, 4), NEG)
+        out[: 1 + C] = x[: 1 + C]
+        out[nb_pad - 1] = x[nb - 1]
+        return out
+
+    blk_idx = np.full(P_pad, nb_pad - 1, dtype=np.int32)
+    old_blk = sm.blk_idx.copy()
+    old_blk[old_blk == nb - 1] = nb_pad - 1  # prefix block index shifts
+    blk_idx[:P] = old_blk
+
+    unit_last = np.full(C_pad, P_pad - 1, dtype=np.int32)
+    unit_last[:C] = sm.unit_last
+
+    # remap structured slots: M region keeps positions, I region shifts to
+    # P_pad, I0 region to 2*P_pad with the block remap
+    n_art = len(art.names)
+    perm = np.zeros(n_art, dtype=np.int32)
+    for a in range(n_art):
+        s = sm.perm[a]
+        if s < P:
+            perm[a] = s
+        elif s < 2 * P:
+            perm[a] = P_pad + (s - P)
+        else:
+            b = s - 2 * P
+            b_new = b if b < 1 + C else nb_pad - 1
+            perm[a] = 2 * P_pad + b_new
+    n_struct = 2 * P_pad + nb_pad
+    struct_to_art = np.zeros(n_struct, dtype=np.int32)
+    struct_to_art[perm] = np.arange(n_art, dtype=np.int32)
+    log_end_struct = np.full(n_struct, NEG)
+    log_end_struct[perm] = np.asarray(art.log_end)
+
+    return dataclasses.replace(
+        sm, P=P_pad, C=C_pad, nb=nb_pad, blk_idx=blk_idx,
+        eM=padP4(sm.eM), eI=padP4(sm.eI), eI0=padNb4(sm.eI0),
+        a_mm=padP(sm.a_mm), a_im=padP(sm.a_im), a_dm=padP(sm.a_dm),
+        ent_m=padP(sm.ent_m), i0_m=padP(sm.i0_m),
+        mi=padP(sm.mi), ii=padP(sm.ii), di=padP(sm.di),
+        md=padP(sm.md), idw=padP(sm.idw), dd=padP(sm.dd),
+        i0_d=padP(sm.i0_d), hub_d=padP(sm.hub_d),
+        i0_i=padNb(sm.i0_i), hub_i0=padNb(sm.hub_i0),
+        xm=padP(sm.xm), xi=padP(sm.xi), xd=padP(sm.xd),
+        unit_last=unit_last,
+        M_start=padP(sm.M_start), I_start=padP(sm.I_start),
+        I0_start=padNb(sm.I0_start), perm=perm,
+        struct_to_art=struct_to_art, log_end_struct=log_end_struct)

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: Viterbi read-decodes/sec/chip on the flagship genotyping kernel.
 
-Compares the fused device kernel (batched Viterbi + traceback + per-read
-analytics) against the reference-style CPU engine (native C++ sparse-graph
-Viterbi with silent states, the same recurrence as the reference's Cython
-kernel) on a CSTB-like locus at Illumina read length.
+Compares the fused device pipeline (structured O(n)-per-symbol Viterbi +
+traceback + per-read analytics) against the reference-style CPU engine
+(native C++ sparse-graph Viterbi with silent states — the same recurrence
+as the reference's Cython kernel) on a CSTB-like locus at Illumina read
+length.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -19,8 +20,6 @@ import numpy as np
 
 
 def build_locus(read_length=150):
-    from advntr_tpu.engine import device_analytics as da
-    from advntr_tpu.engine.finder import _pad_artifact
     from advntr_tpu.models.compiler import compile_graph
     from advntr_tpu.models.graph import build_read_matcher
     from advntr_tpu.models.profile import profile_for_repeats
@@ -33,9 +32,7 @@ def build_locus(read_length=150):
     trans, emis = profile_for_repeats([pattern] * 3, 0.05)
     graph = build_read_matcher(left, right, trans, emis, copies, 0.05)
     art = compile_graph(graph)
-    n_pad = ((art.n_states + 127) // 128) * 128
-    model = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
-    return graph, art, model, left, right, pattern
+    return graph, art, left, right, pattern
 
 
 def simulate_reads(left, pattern, right, read_length, n_reads, seed=9):
@@ -52,31 +49,38 @@ def simulate_reads(left, pattern, right, read_length, n_reads, seed=9):
 
 def main():
     read_length = 150
-    B = 512
-    graph, art, model, left, right, pattern = build_locus(read_length)
+    B = 4096
+    graph, art, left, right, pattern = build_locus(read_length)
     reads = simulate_reads(left, pattern, right, read_length, B)
 
+    import jax
+    import jax.numpy as jnp
     from advntr_tpu import dna
     from advntr_tpu.engine import device_analytics as da
-    import jax
+    from advntr_tpu.engine.finder import LocusModelCache
+    from advntr_tpu.models.struct_compiler import build_structured
+
+    cache = LocusModelCache()
+    lm = cache._build(graph, art)
 
     rows = [dna.encode(r) for r in reads]
     batch, lengths = dna.pad_batch(rows, pad_to=read_length, multiple=32)
-    import jax.numpy as jnp
     batch_d = jnp.asarray(batch)
     lengths_d = jnp.asarray(lengths)
-    arrays = model.flat()
 
-    # warmup/compile
-    out = da.read_stats(arrays, batch_d, lengths_d)
+    def run():
+        return da.read_stats_struct(lm.struct.flat(), lm.meta, batch_d,
+                                    lengths_d, lm.suffix_last)
+
+    # warmup/compile; a host transfer is the sync point (on the axon tunnel
+    # block_until_ready alone does not actually wait)
+    out = run()
     _ = np.asarray(out["logp"])
 
-    # NOTE: a host transfer of a result each iteration is the sync point —
-    # on the axon tunnel, block_until_ready alone does not actually wait.
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = da.read_stats(arrays, batch_d, lengths_d)
+        out = run()
         _ = np.asarray(out["logp"])
     t1 = time.perf_counter()
     device_rate = B * iters / (t1 - t0)

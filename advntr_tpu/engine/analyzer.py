@@ -44,11 +44,17 @@ class GenomeAnalyzer:
         self.input_file = input_file
         self.config = config
         self.out = out or sys.stdout
+        from advntr_tpu.engine.finder import LocusModelCache
+        bank_dir = os.path.join(working_dir, "model_bank") if working_dir \
+            else None
+        self.model_cache = LocusModelCache(
+            workers=max(0, config.io_threads - 1), bank_dir=bank_dir)
         self.vntr_finder = {}
         for ref_vntr in ref_vntrs:
             if ref_vntr.id in target_vntr_ids:
                 self.vntr_finder[ref_vntr.id] = VNTRFinder(
-                    ref_vntr, config, is_haploid)
+                    ref_vntr, config, is_haploid,
+                    model_cache=self.model_cache)
 
     # ---- output formatting (genome_analyzer.py:28-170) --------------------
 
@@ -245,6 +251,11 @@ class GenomeAnalyzer:
         self._emit_header()
         with open_alignment(alignment_file) as bam:
             read_length = self._median_read_length(bam)
+            for vid in self.target_vntr_ids:
+                finder = self.vntr_finder[vid]
+                self.model_cache.schedule(
+                    finder.reference_vntr, finder.get_copies_for_hmm(read_length),
+                    read_length, self.config.max_error_rate)
             for vid in self.target_vntr_ids:
                 finder = self.vntr_finder[vid]
                 try:

@@ -64,37 +64,118 @@ class LocusModel:
     dense: object | None = None    # DeviceModel fallback (built lazily)
 
 
+def build_locus_payload(ref_vntr, copies: int, flank_size: int,
+                        error_rate: float):
+    """Host-side model construction for one locus: profile estimation,
+    graph build, silent-state elimination, structured extraction.
+    Pure numpy output (picklable) so it can run in worker processes."""
+    from advntr_tpu.models.struct_compiler import build_structured
+    left = ref_vntr.left_flanking_region[-flank_size:]
+    right = ref_vntr.right_flanking_region[:flank_size]
+    trans, emis = profile_for_repeats(
+        list(ref_vntr.get_repeat_segments()), error_rate)
+    g = build_read_matcher(left, right, trans, emis, copies, error_rate)
+    art = compile_graph(g)
+    sm = build_structured(g, art)
+    return art, sm
+
+
 class LocusModelCache:
     """Per-(locus, read-length-bucket) compiled model cache.
 
     Pads the structured position/unit axes to buckets so XLA compiles one
     executable per bucket, not per locus (the reference re-builds a
     pomegranate model per locus and read length, vntr_finder.py:117-138).
+
+    Optional scale-out of the host-side model compilation:
+    - ``workers``: a process pool builds scheduled loci concurrently so
+      model compilation overlaps device scoring of earlier loci
+    - ``bank_dir``: compiled payloads are pickled to disk and reused across
+      runs (the compiled model-bank checkpoint; the reference's analog is
+      its per-(locus, read-length) HMM JSON cache, vntr_finder.py:117-138)
     """
 
     def __init__(self, state_bucket: int = 128, pos_bucket: int = 128,
-                 unit_bucket: int = 8, use_struct: bool = True):
+                 unit_bucket: int = 8, use_struct: bool = True,
+                 workers: int = 0, bank_dir: str | None = None):
         self.state_bucket = state_bucket
         self.pos_bucket = pos_bucket
         self.unit_bucket = unit_bucket
         self.use_struct = use_struct
+        self.bank_dir = bank_dir
         self._cache: dict = {}
+        self._futures: dict = {}
+        self._pool = None
+        if workers:
+            import concurrent.futures
+            self._pool = concurrent.futures.ProcessPoolExecutor(workers)
+
+    @staticmethod
+    def _key(ref_vntr, copies, flank_size, error_rate):
+        return (ref_vntr.id, copies, flank_size, error_rate)
+
+    def _bank_path(self, key):
+        import os
+        if not self.bank_dir:
+            return None
+        return os.path.join(self.bank_dir,
+                            "model_%s_%s_%s_%s.pkl.gz" % key)
+
+    def schedule(self, ref_vntr, copies: int, flank_size: int,
+                 error_rate: float) -> None:
+        """Queue background compilation of a locus model."""
+        key = self._key(ref_vntr, copies, flank_size, error_rate)
+        if key in self._cache or key in self._futures or self._pool is None:
+            return
+        path = self._bank_path(key)
+        if path is not None:
+            import os
+            if os.path.exists(path):
+                return  # bank hit; loaded lazily in get()
+        self._futures[key] = self._pool.submit(
+            build_locus_payload, ref_vntr, copies, flank_size, error_rate)
 
     def get(self, ref_vntr, copies: int, flank_size: int,
             error_rate: float) -> LocusModel:
-        key = (ref_vntr.id, copies, flank_size, error_rate)
-        if key not in self._cache:
-            left = ref_vntr.left_flanking_region[-flank_size:]
-            right = ref_vntr.right_flanking_region[:flank_size]
-            trans, emis = profile_for_repeats(
-                list(ref_vntr.get_repeat_segments()), error_rate)
-            g = build_read_matcher(left, right, trans, emis, copies,
-                                   error_rate)
-            art = compile_graph(g)
-            self._cache[key] = self._build(g, art)
+        key = self._key(ref_vntr, copies, flank_size, error_rate)
+        if key in self._cache:
+            return self._cache[key]
+        payload = None
+        fut = self._futures.pop(key, None)
+        if fut is not None:
+            payload = fut.result()
+        if payload is None:
+            path = self._bank_path(key)
+            if path is not None:
+                import gzip
+                import os
+                import pickle
+                if os.path.exists(path):
+                    with gzip.open(path, "rb") as fh:
+                        payload = pickle.load(fh)
+        if payload is None:
+            payload = build_locus_payload(ref_vntr, copies, flank_size,
+                                          error_rate)
+            path = self._bank_path(key)
+            if path is not None:
+                import gzip
+                import os
+                import pickle
+                os.makedirs(self.bank_dir, exist_ok=True)
+                with gzip.open(path, "wb", compresslevel=1) as fh:
+                    pickle.dump(payload, fh)
+        art, sm = payload
+        self._cache[key] = self._build_from_payload(art, sm)
         return self._cache[key]
 
     def _build(self, g, art) -> LocusModel:
+        sm = None
+        if self.use_struct:
+            from advntr_tpu.models.struct_compiler import build_structured
+            sm = build_structured(g, art)
+        return self._build_from_payload(art, sm)
+
+    def _build_from_payload(self, art, sm) -> LocusModel:
         import jax.numpy as jnp
         meta = (jnp.asarray(art.kind), jnp.asarray(art.region),
                 jnp.asarray(art.exp_base),
@@ -103,11 +184,9 @@ class LocusModelCache:
                 jnp.asarray(art.e_unit_starts), jnp.asarray(art.e_unit_ends))
         struct = None
         suffix_last = -1
-        if self.use_struct:
-            from advntr_tpu.models.struct_compiler import (
-                build_structured, pad_structured)
+        if self.use_struct and sm is not None:
+            from advntr_tpu.models.struct_compiler import pad_structured
             from advntr_tpu.ops.viterbi_struct import StructDeviceModel
-            sm = build_structured(g, art)
             P_pad = _round_up(sm.P + 1, self.pos_bucket)
             C_pad = _round_up(sm.C, self.unit_bucket)
             sm = pad_structured(sm, art, P_pad, C_pad)

@@ -105,15 +105,20 @@ def test_haplotyper_two_clusters():
     assert sorted(haps) == sorted([a, b])
 
 
-def test_update_model_reselects():
+def _rand_seq(seed, n):
     import random
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def test_update_model_reselects():
     from advntr_tpu.config import Config
     from advntr_tpu.engine.finder import VNTRFinder
     from advntr_tpu.engine.simulate import simulate_diploid_reads
     from advntr_tpu.models.reference_vntr import ReferenceVNTR
     pattern = "CGCGGGGCGGGG"
-    left = "".join(random.Random(1).choice("ACGT") for _ in range(120))
-    right = "".join(random.Random(2).choice("ACGT") for _ in range(120))
+    left = _rand_seq(1, 120)
+    right = _rand_seq(2, 120)
     ref = ReferenceVNTR(11, pattern, 1000, "chr1")
     ref.repeat_segments = [pattern] * 3
     ref.left_flanking_region = left

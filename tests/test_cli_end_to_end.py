@@ -17,8 +17,13 @@ from advntr_tpu.models.db import (create_vntrs_database,
 from advntr_tpu.models.reference_vntr import ReferenceVNTR
 
 PATTERN = "CGCGGGGCGGGG"
-LEFT = "".join(random.Random(1).choice("ACGT") for _ in range(300))
-RIGHT = "".join(random.Random(2).choice("ACGT") for _ in range(300))
+
+def _rand_seq(seed, n):
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+LEFT = _rand_seq(1, 300)
+RIGHT = _rand_seq(2, 300)
 VNTR_START = 5000
 READ_LEN = 100
 

@@ -18,8 +18,13 @@ from advntr_tpu.models.reference_vntr import ReferenceVNTR
 # CSTB-like locus: 12bp GC-rich motif
 PATTERN = "CGCGGGGCGGGG"
 random.seed(7)
-LEFT = "".join(random.Random(1).choice("ACGT") for _ in range(200))
-RIGHT = "".join(random.Random(2).choice("ACGT") for _ in range(200))
+
+def _rand_seq(seed, n):
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+LEFT = _rand_seq(1, 200)
+RIGHT = _rand_seq(2, 200)
 
 
 def make_ref(copies_ref=3):

@@ -42,6 +42,9 @@ class Config:
     # Model DB paths (reference: settings.py:10-13)
     models_file: str = "vntr_data/hg19_selected_VNTRs_Illumina.db"
 
+    # Optional per-locus DNN recruitment models (reference: settings.py:39)
+    dnn_models_dir: str = "dnn_models"
+
     # Host-side parallelism for IO/pipelining
     io_threads: int = max(1, (os.cpu_count() or 2) - 1)
 

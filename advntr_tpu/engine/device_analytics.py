@@ -170,9 +170,9 @@ def analytics_from_path(meta_arrays, logp, path, seqs, lengths,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("suffix_last", "return_path"))
+@functools.partial(jax.jit, static_argnames=("return_path",))
 def read_stats_struct(struct_arrays, meta_arrays, seqs, lengths,
-                      suffix_last: int, return_path: bool = False):
+                      suffix_last, return_path: bool = False):
     """Fused Viterbi + analytics via the structured O(n)-per-step kernel."""
     from advntr_tpu.ops.viterbi_struct import viterbi_struct_batch
     logp, _, path = viterbi_struct_batch(struct_arrays, seqs, lengths,

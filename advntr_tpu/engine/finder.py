@@ -252,6 +252,7 @@ class VNTRFinder:
         # reference: vntr_finder.py:66-73
         self.min_repeat_bp_to_add_read = 2
         self.min_repeat_bp_to_count_repeats = 2
+        self.minimum_flanking_size = 5
         self.minimum_left_flanking_size = 5
         self.minimum_right_flanking_size = 5
         self.vntr_start = reference_vntr.start_point
@@ -269,6 +270,40 @@ class VNTRFinder:
         flank_size = flank_size if flank_size is not None else read_length
         return self.cache.get(self.reference_vntr, copies, flank_size,
                               self.config.max_error_rate)
+
+    def _load_dnn_model(self):
+        """Per-locus DNN recruitment model, if trained
+        (reference: vntr_finder.py:755-759, model file dnn_models/<vid>)."""
+        import os
+        if getattr(self, "_dnn_cache", "unset") != "unset":
+            return self._dnn_cache
+        from advntr_tpu.engine import deep_recruitment as dr
+        path = os.path.join(self.config.dnn_models_dir,
+                            f"{self.reference_vntr.id}.npz")
+        self._dnn_cache = dr.load_model(path)
+        return self._dnn_cache
+
+    def get_unique_left_flank(self) -> int:
+        """Shortest left-flank margin distinguishable from the tandem array
+        (reference semantics: vntr_finder.py:78-86)."""
+        from advntr_tpu.ops.align import global_align_score
+        patterns = self.reference_vntr.get_repeat_segments()[0] * 10
+        left = self.reference_vntr.left_flanking_region
+        for i in range(self.minimum_flanking_size, 30):
+            if global_align_score(patterns[-i:], left[-i:]) < i * 0.5:
+                return i
+        return 30
+
+    def get_unique_right_flank(self) -> int:
+        """Shortest right-flank margin distinguishable from the tandem array
+        (reference semantics: vntr_finder.py:88-96)."""
+        from advntr_tpu.ops.align import global_align_score
+        patterns = self.reference_vntr.get_repeat_segments()[-1] * 10
+        right = self.reference_vntr.right_flanking_region
+        for i in range(self.minimum_flanking_size, 30):
+            if global_align_score(patterns[:i], right[:i]) < i * 0.5:
+                return i
+        return 30
 
     def recruitment_score_threshold(self, read_length: int):
         # reference: vntr_finder.py:174-177
@@ -307,11 +342,41 @@ class VNTRFinder:
                 continue
             reads.append((name, seq, False))
 
+        # optional DNN pre-screen of unmapped-read orientations
+        # (reference: process_unmapped_read_with_dnn, vntr_finder.py:192-233)
+        dnn_pass = None
+        dnn_params = self._load_dnn_model()
+        if dnn_params is not None and reads:
+            from advntr_tpu.engine import deep_recruitment as dr
+            emb_rows = []
+            emb_info = []
+            for ri, (name, seq, is_mapped) in enumerate(reads):
+                if is_mapped:
+                    continue
+                codes = dna.encode(seq)
+                emb_rows.append(codes)
+                emb_info.append((ri, 0))
+                emb_rows.append(dna.revcomp_codes(codes))
+                emb_info.append((ri, 1))
+            if emb_rows:
+                eb, el = dna.pad_batch(emb_rows, multiple=8)
+                emb = dr.embed_batch(eb, el)
+                probs = np.asarray(dr.predict(dnn_params, emb))
+                dnn_pass = {info: bool(probs[k, 0] > probs[k, 1])
+                            for k, info in enumerate(emb_info)}
+
         for ri, (name, seq, is_mapped) in enumerate(reads):
             codes = dna.encode(seq)
-            rows.append(codes)
-            row_info.append((ri, 0))
-            if not is_mapped:
+            if is_mapped:
+                rows.append(codes)
+                row_info.append((ri, 0))
+                continue
+            fwd_ok = dnn_pass is None or dnn_pass.get((ri, 0), False)
+            rev_ok = dnn_pass is None or dnn_pass.get((ri, 1), False)
+            if fwd_ok:
+                rows.append(codes)
+                row_info.append((ri, 0))
+            if rev_ok:
                 rows.append(dna.revcomp_codes(codes))
                 row_info.append((ri, 1))
 
@@ -352,6 +417,8 @@ class VNTRFinder:
 
         scored = []
         for ri, (name, seq, is_mapped) in enumerate(reads):
+            if ri not in best_row:
+                continue  # DNN-screened out in both orientations
             row = best_row[ri]
             orient = row_info[row][1]
             seq_used = seq if orient == 0 else dna.revcomp(seq)

@@ -126,8 +126,8 @@ def _tropical_scan(decay, b):
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("suffix_last", "return_path"))
-def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last: int,
+@functools.partial(jax.jit, static_argnames=("return_path",))
+def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
                          return_path: bool = True):
     """Structured forward + dense-assisted traceback.
 
@@ -155,13 +155,11 @@ def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last: int,
             jnp.maximum(jnp.take(Mn, ul, axis=1) + jnp.take(m.xm, ul)[None, :],
                         jnp.take(In, ul, axis=1) + jnp.take(m.xi, ul)[None, :]),
             jnp.take(Dinner, ul, axis=1) + jnp.take(m.xd, ul)[None, :])
-        if suffix_last >= 0:
-            sufq = jnp.maximum(
-                jnp.maximum(Mn[:, suffix_last] + m.xm[suffix_last],
-                            In[:, suffix_last] + m.xi[suffix_last]),
-                Dinner[:, suffix_last] + m.xd[suffix_last])
-        else:
-            sufq = jnp.full((B,), NEG32)
+        sl = jnp.asarray(suffix_last, dtype=jnp.int32)
+        sufq = jnp.maximum(
+            jnp.maximum(jnp.take(Mn, sl, axis=1) + jnp.take(m.xm, sl),
+                        jnp.take(In, sl, axis=1) + jnp.take(m.xi, sl)),
+            jnp.take(Dinner, sl, axis=1) + jnp.take(m.xd, sl))
         # unit_start chain: us_c = max(s_c, us_{c-1} + r_unit + ln(1/2))
         s = jnp.concatenate([sufq[:, None], q[:, :-1] + LN05], axis=1)
         rho = m.r_unit + LN05

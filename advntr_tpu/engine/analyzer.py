@@ -210,13 +210,24 @@ class GenomeAnalyzer:
         if self.config.min_read_length is not None:
             min_len = self.config.min_read_length
         out = []
-        try:
-            fetched = bam.fetch(chromosome, max(0, vntr_start - 500), vntr_end)
-        except FileNotFoundError:
-            logging.warning("no BAI index; scanning sequentially")
-            fetched = (r for r in bam
-                       if r.reference_name == chromosome
-                       and not r.is_unmapped)
+        fetched = None
+        if isinstance(bam, BamReader):
+            try:
+                bam._load_index()
+            except FileNotFoundError:
+                try:
+                    from advntr_tpu.io.bam import build_bai
+                    logging.info("building BAI index for %s", bam.path)
+                    build_bai(bam.path)
+                except Exception as error:
+                    logging.warning("cannot index %s (%s); scanning "
+                                    "sequentially", bam.path, error)
+                    fetched = (r for r in bam
+                               if r.reference_name == chromosome
+                               and not r.is_unmapped)
+        if fetched is None:
+            fetched = bam.fetch(chromosome, max(0, vntr_start - 500),
+                                vntr_end)
         for read in fetched:
             if read.is_unmapped or read.is_duplicate:
                 continue
@@ -256,23 +267,131 @@ class GenomeAnalyzer:
                 self.model_cache.schedule(
                     finder.reference_vntr, finder.get_copies_for_hmm(read_length),
                     read_length, self.config.max_error_rate)
-            for vid in self.target_vntr_ids:
-                finder = self.vntr_finder[vid]
-                try:
-                    mapped = self.mapped_candidates(bam, finder, read_length)
-                    result = finder.find_repeat_count(
+            results = self._genotype_loci_grouped(
+                bam, unmapped_by_vid, read_length, accuracy_filter,
+                average_coverage, update)
+        for vid in self.target_vntr_ids:
+            result, err = results[vid]
+            self.print_genotype(vid, result, encountered_error=err)
+
+    def _genotype_loci_grouped(self, bam, unmapped_by_vid, read_length,
+                               accuracy_filter, average_coverage, update,
+                               group_size: int = 8):
+        """Per-locus prep on host, then same-bucket loci scored as grouped
+        device calls (one executable per bucket, G loci per dispatch)."""
+        from collections import defaultdict
+        import numpy as np
+        import jax.numpy as jnp
+        from advntr_tpu.engine import device_analytics as da
+        from advntr_tpu.engine.finder import GenotypeResult
+
+        error_result = (GenotypeResult(None, 0, 0, 0, 0), True)
+        results: dict = {}
+        prepped = {}
+        groups = defaultdict(list)
+        for vid in self.target_vntr_ids:
+            finder = self.vntr_finder[vid]
+            try:
+                mapped = self.mapped_candidates(bam, finder, read_length)
+                if update:
+                    # model updating re-estimates per locus; keep the
+                    # sequential path for it
+                    results[vid] = (finder.find_repeat_count(
                         mapped, unmapped_by_vid[vid],
                         read_length=read_length,
                         accuracy_filter=accuracy_filter,
-                        average_coverage=average_coverage,
-                        update=update)
-                    self.print_genotype(vid, result)
-                except Exception as error:  # per-locus isolation
-                    logging.error(
-                        "Error genotyping VNTR %s: %s. Skipping.", vid, error)
-                    self.print_genotype(
-                        vid, GenotypeResult(None, 0, 0, 0, 0),
-                        encountered_error=True)
+                        average_coverage=average_coverage, update=True),
+                        False)
+                    continue
+                lm = finder.get_model(read_length)
+                reads, rows, row_info = finder.prepare_rows(
+                    mapped, unmapped_by_vid[vid])
+                if not rows or lm.struct is None:
+                    results[vid] = (finder.find_repeat_count(
+                        mapped, unmapped_by_vid[vid],
+                        read_length=read_length,
+                        accuracy_filter=accuracy_filter,
+                        average_coverage=average_coverage), False)
+                    continue
+                key = (lm.struct.blk_idx.shape[0],
+                       lm.struct.unit_last.shape[0],
+                       lm.struct.log_T_struct_t.shape[0],
+                       lm.meta[0].shape[0])
+                prepped[vid] = (finder, lm, reads, rows, row_info)
+                groups[key].append(vid)
+            except Exception as error:
+                logging.error("Error preparing VNTR %s: %s.", vid, error)
+                results[vid] = error_result
+
+        for key, vids in groups.items():
+            for chunk_start in range(0, len(vids), group_size):
+                chunk = vids[chunk_start:chunk_start + group_size]
+                try:
+                    self._run_group(chunk, prepped, read_length, results,
+                                    accuracy_filter, average_coverage)
+                except Exception as error:
+                    logging.error("Grouped scoring failed (%s); falling back "
+                                  "per locus: %s", chunk, error)
+                    for vid in chunk:
+                        finder, lm, reads, rows, row_info = prepped[vid]
+                        try:
+                            batch, lengths = finder.pad_rows(rows)
+                            stats = finder.run_device(lm, batch, lengths)
+                            scored = finder.collect_scored(reads, row_info,
+                                                           stats)
+                            selected = finder.select_from_scored(scored,
+                                                                 read_length)
+                            results[vid] = (finder.genotype_from_selected(
+                                selected, accuracy_filter, average_coverage),
+                                False)
+                        except Exception as err2:
+                            logging.error("Error genotyping VNTR %s: %s.",
+                                          vid, err2)
+                            results[vid] = error_result
+        return results
+
+    def _run_group(self, chunk, prepped, read_length, results,
+                   accuracy_filter, average_coverage):
+        import numpy as np
+        import jax.numpy as jnp
+        from advntr_tpu.engine import device_analytics as da
+
+        max_len = max(max(len(r) for r in prepped[vid][3]) for vid in chunk)
+        L_pad = ((max_len + 31) // 32) * 32
+        max_rows = max(len(prepped[vid][3]) for vid in chunk)
+        B_pad = 1 << (max_rows - 1).bit_length()
+        batches, lens = [], []
+        for vid in chunk:
+            finder, lm, reads, rows, row_info = prepped[vid]
+            b, ln = finder.pad_rows(rows, length_bucket=1, pad_to=L_pad,
+                                    b_pad=B_pad)
+            batches.append(b)
+            lens.append(ln)
+        seqs = np.stack(batches)
+        lengths = np.stack(lens)
+        suffix_lasts = np.array(
+            [prepped[vid][1].suffix_last for vid in chunk], dtype=np.int32)
+        stacked_struct = tuple(
+            jnp.stack([prepped[vid][1].struct.flat()[i] for vid in chunk])
+            for i in range(len(prepped[chunk[0]][1].struct.flat())))
+        stacked_meta = tuple(
+            jnp.stack([prepped[vid][1].meta[i] for vid in chunk])
+            for i in range(len(prepped[chunk[0]][1].meta)))
+        stats = da.read_stats_struct_grouped(
+            stacked_struct, stacked_meta, jnp.asarray(seqs),
+            jnp.asarray(lengths), jnp.asarray(suffix_lasts))
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+        for g, vid in enumerate(chunk):
+            finder, lm, reads, rows, row_info = prepped[vid]
+            try:
+                per = {k: v[g] for k, v in stats.items()}
+                scored = finder.collect_scored(reads, row_info, per)
+                selected = finder.select_from_scored(scored, read_length)
+                results[vid] = (finder.genotype_from_selected(
+                    selected, accuracy_filter, average_coverage), False)
+            except Exception as error:
+                logging.error("Error genotyping VNTR %s: %s.", vid, error)
+                results[vid] = (GenotypeResult(None, 0, 0, 0, 0), True)
 
     def find_frameshift_from_alignment_file(self, alignment_file: str) -> None:
         unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,

@@ -197,3 +197,24 @@ def flank_rates(stats: dict, accuracy_filter: bool = False) -> np.ndarray:
         lr = np.where(lb > 0, lm / np.maximum(lb, 1), default)
         rr = np.where(rb > 0, rm / np.maximum(rb, 1), default)
     return np.minimum(lr, rr)
+
+
+@functools.partial(jax.jit, static_argnames=("return_path",))
+def read_stats_struct_grouped(stacked_struct, stacked_meta, seqs, lengths,
+                              suffix_lasts, return_path: bool = False):
+    """Fused Viterbi + analytics for G same-bucket loci in one executable.
+
+    stacked_struct / stacked_meta: per-field stacks with a leading locus
+    axis; seqs (G, B, L); lengths (G, B); suffix_lasts (G,).
+    Returns dict of (G, B) arrays.
+    """
+    from advntr_tpu.ops.viterbi_struct import viterbi_struct_batch
+
+    def one(struct, meta, q, ln, sl):
+        logp, _, path = viterbi_struct_batch(struct, q, ln, sl,
+                                             return_path=True)
+        return analytics_from_path(meta, logp, path, q, ln,
+                                   return_path=return_path)
+
+    return jax.vmap(one)(stacked_struct, stacked_meta, seqs, lengths,
+                         suffix_lasts)

@@ -177,11 +177,18 @@ class LocusModelCache:
 
     def _build_from_payload(self, art, sm) -> LocusModel:
         import jax.numpy as jnp
-        meta = (jnp.asarray(art.kind), jnp.asarray(art.region),
-                jnp.asarray(art.exp_base),
-                jnp.asarray(art.t_unit_starts), jnp.asarray(art.t_unit_ends),
-                jnp.asarray(art.s_unit_starts), jnp.asarray(art.s_unit_ends),
-                jnp.asarray(art.e_unit_starts), jnp.asarray(art.e_unit_ends))
+        # metadata tables padded to the state bucket so same-bucket loci can
+        # stack into one grouped executable
+        meta_art = _pad_artifact(art, _round_up(art.n_states,
+                                                self.state_bucket))
+        meta = (jnp.asarray(meta_art.kind), jnp.asarray(meta_art.region),
+                jnp.asarray(meta_art.exp_base),
+                jnp.asarray(meta_art.t_unit_starts),
+                jnp.asarray(meta_art.t_unit_ends),
+                jnp.asarray(meta_art.s_unit_starts),
+                jnp.asarray(meta_art.s_unit_ends),
+                jnp.asarray(meta_art.e_unit_starts),
+                jnp.asarray(meta_art.e_unit_ends))
         struct = None
         suffix_last = -1
         if self.use_struct and sm is not None:
@@ -314,20 +321,9 @@ class VNTRFinder:
 
     # -- scoring -------------------------------------------------------------
 
-    def score_reads(self, mapped_reads, unmapped_reads, read_length: int,
-                    model=None, length_bucket: int = 32,
-                    return_paths: bool = False):
-        """Batch-score candidate reads.
-
-        mapped_reads / unmapped_reads: lists of (name, sequence) tuples;
-        unmapped reads are scored in both orientations and the better one
-        wins (reference: vntr_finder.py:235-246).
-
-        Returns a list of ScoredRead (one per input read, skipping reads
-        containing N), plus the raw device stats when return_paths.
-        """
-        lm = model if model is not None else self.get_model(read_length)
-
+    def prepare_rows(self, mapped_reads, unmapped_reads):
+        """Host-side batch prep: N-filter, DNN pre-screen, both orientations
+        of unmapped reads.  Returns (reads, rows, row_info)."""
         rows: list[np.ndarray] = []
         row_info = []  # (read_index, orientation)
         reads = []
@@ -379,42 +375,32 @@ class VNTRFinder:
             if rev_ok:
                 rows.append(dna.revcomp_codes(codes))
                 row_info.append((ri, 1))
+        return reads, rows, row_info
 
-        if not rows:
-            return [], None
-
-        batch, lengths = dna.pad_batch(rows, multiple=length_bucket)
-        # pad the batch axis to the next power of two so XLA compiles one
-        # executable per (model bucket, L, B) bucket instead of per call
-        b_pad = 1 << (len(rows) - 1).bit_length()
+    @staticmethod
+    def pad_rows(rows, length_bucket: int = 32, pad_to: int | None = None,
+                 b_pad: int | None = None):
+        """Pad rows into a (B, L) batch with bucketed dimensions."""
+        batch, lengths = dna.pad_batch(rows, pad_to=pad_to,
+                                       multiple=length_bucket)
+        if b_pad is None:
+            b_pad = 1 << (len(rows) - 1).bit_length()
         if b_pad != len(rows):
             batch = np.concatenate(
                 [batch, np.zeros((b_pad - len(rows), batch.shape[1]),
                                  dtype=batch.dtype)])
             lengths = np.concatenate(
                 [lengths, np.ones(b_pad - len(rows), dtype=lengths.dtype)])
-        if lm.struct is not None:
-            stats = da.read_stats_struct(
-                lm.struct.flat(), lm.meta, jnp.asarray(batch),
-                jnp.asarray(lengths), lm.suffix_last,
-                return_path=return_paths)
-        else:
-            stats = da.read_stats(lm.dense.flat(), jnp.asarray(batch),
-                                  jnp.asarray(lengths),
-                                  return_path=return_paths)
-        stats = {k: np.asarray(v) for k, v in stats.items()}
-        rates = da.flank_rates(stats, accuracy_filter=False)
-        rates_strict = rates  # strict variant differs only when a flank is
-        # absent; read_flanks_repeats_with_confidence requires flank sizes > 5
-        # anyway, so the plain rate is the one that matters for both gates.
+        return batch, lengths
 
-        # pick the better orientation per read
+    def collect_scored(self, reads, row_info, stats) -> list[ScoredRead]:
+        """Host-side post-processing: orientation resolution + ScoredReads."""
+        rates = da.flank_rates(stats, accuracy_filter=False)
         best_row: dict[int, int] = {}
         for row, (ri, orient) in enumerate(row_info):
             cur = best_row.get(ri)
             if cur is None or stats["logp"][row] > stats["logp"][cur]:
                 best_row[ri] = row
-
         scored = []
         for ri, (name, seq, is_mapped) in enumerate(reads):
             if ri not in best_row:
@@ -430,13 +416,46 @@ class VNTRFinder:
                 left_flank_bp=int(stats["left_flank_bp"][row]),
                 right_flank_bp=int(stats["right_flank_bp"][row]),
                 flank_rate=float(rates[row]),
-                flank_rate_strict=float(rates_strict[row]),
+                flank_rate_strict=float(rates[row]),
                 n_matches=int(stats["n_matches"][row]),
                 is_mapped=is_mapped,
                 query_name=name,
                 row=row,
             ))
-        return scored, stats
+        return scored
+
+    def run_device(self, lm, batch, lengths, return_paths: bool = False):
+        if lm.struct is not None:
+            stats = da.read_stats_struct(
+                lm.struct.flat(), lm.meta, jnp.asarray(batch),
+                jnp.asarray(lengths), lm.suffix_last,
+                return_path=return_paths)
+        else:
+            stats = da.read_stats(lm.dense.flat(), jnp.asarray(batch),
+                                  jnp.asarray(lengths),
+                                  return_path=return_paths)
+        return {k: np.asarray(v) for k, v in stats.items()}
+
+    def score_reads(self, mapped_reads, unmapped_reads, read_length: int,
+                    model=None, length_bucket: int = 32,
+                    return_paths: bool = False):
+        """Batch-score candidate reads.
+
+        mapped_reads / unmapped_reads: lists of (name, sequence) tuples;
+        unmapped reads are scored in both orientations and the better one
+        wins (reference: vntr_finder.py:235-246).
+
+        Returns a list of ScoredRead (one per input read, skipping reads
+        containing N), plus the raw device stats when return_paths.
+        """
+        lm = model if model is not None else self.get_model(read_length)
+        reads, rows, row_info = self.prepare_rows(mapped_reads,
+                                                  unmapped_reads)
+        if not rows:
+            return [], None
+        batch, lengths = self.pad_rows(rows, length_bucket)
+        stats = self.run_device(lm, batch, lengths, return_paths)
+        return self.collect_scored(reads, row_info, stats), stats
 
     # -- recruitment gate (reference: vntr_finder.py:179-190) ----------------
 
@@ -465,16 +484,7 @@ class VNTRFinder:
         scored, stats = self.score_reads(mapped_reads, unmapped_reads,
                                          read_length, model=model,
                                          return_paths=return_paths)
-        min_score = self.recruitment_score_threshold(read_length)
-        selected = []
-        for read in scored:
-            if not np.isfinite(read.logp):
-                continue
-            if not self.recruit_read(read, min_score):
-                continue
-            if read.repeat_bp > self.min_repeat_bp_to_add_read:
-                selected.append(read)
-        return selected, stats
+        return self.select_from_scored(scored, read_length), stats
 
     # -- model updating (reference: iteratively_update_model,
     #    vntr_finder.py:668-698) ---------------------------------------------
@@ -556,6 +566,26 @@ class VNTRFinder:
         else:
             selected, _ = self.select_reads(mapped_reads, unmapped_reads,
                                             read_length)
+        return self.genotype_from_selected(selected, accuracy_filter,
+                                           average_coverage)
+
+    def select_from_scored(self, scored, read_length: int):
+        """Recruitment gates over already-scored reads."""
+        min_score = self.recruitment_score_threshold(read_length)
+        selected = []
+        for read in scored:
+            if not np.isfinite(read.logp):
+                continue
+            if not self.recruit_read(read, min_score):
+                continue
+            if read.repeat_bp > self.min_repeat_bp_to_add_read:
+                selected.append(read)
+        return selected
+
+    def genotype_from_selected(self, selected, accuracy_filter: bool = False,
+                               average_coverage=None) -> GenotypeResult:
+        """RU counting + diploid ML genotype from selected reads
+        (reference: vntr_finder.py:806-887)."""
         covered_repeats = []
         flanking_repeats = []
         total_counted_vntr_bp = 0

@@ -1,0 +1,86 @@
+"""Multi-host scale-out: locus-sharded panels over a jax.distributed runtime.
+
+The reference is single-node (multiprocessing only, vntr_finder.py:424-439).
+The TPU-native layout for genome-wide panels (158,522 loci,
+reference README.md:34-35):
+
+- each host process owns a contiguous shard of the locus panel (its model
+  DB slice lives in host RAM, compiled models in its chips' HBM)
+- each host streams its own copy of the alignment's unmapped reads (or a
+  byte-range shard of the BAM) through the recruitment filter for its loci
+- per-locus genotyping is embarrassingly parallel; the only cross-host
+  traffic is the final ordered gather of small genotype records to host 0
+
+Per-read results never cross chips, so ICI carries no per-locus collectives;
+aggregate statistics (e.g. coverage histograms) reduce with psum when used.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the jax.distributed runtime (no-op when single-process)."""
+    import jax
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def shard_loci(target_vntr_ids, process_id: int, num_processes: int):
+    """Contiguous locus shard for this host."""
+    n = len(target_vntr_ids)
+    per = (n + num_processes - 1) // num_processes
+    return target_vntr_ids[process_id * per:(process_id + 1) * per]
+
+
+def gather_results(local_results: dict, process_id: int,
+                   num_processes: int, output_dir: str):
+    """Ordered cross-host merge of per-locus genotype records.
+
+    Genotype records are tiny (a few bytes per locus), so the merge is a
+    filesystem gather: each host writes its shard, host 0 merges in panel
+    order.  On pod slices with a shared filesystem this needs no network
+    code; swap in a jax.experimental.multihost_utils broadcast if desired.
+    """
+    import os
+    os.makedirs(output_dir, exist_ok=True)
+    shard_file = os.path.join(output_dir, f"results_shard_{process_id}.json")
+    with open(shard_file, "w") as fh:
+        json.dump({str(k): v for k, v in local_results.items()}, fh)
+    if process_id != 0:
+        return None
+    merged = {}
+    for p in range(num_processes):
+        path = os.path.join(output_dir, f"results_shard_{p}.json")
+        if not os.path.exists(path):
+            logging.warning("missing results shard %s", p)
+            continue
+        with open(path) as fh:
+            merged.update(json.load(fh))
+    return merged
+
+
+def run_sharded_panel(ref_vntrs, target_vntr_ids, alignment_file: str,
+                      working_dir: str, config, process_id: int = 0,
+                      num_processes: int = 1, outfmt: str = "text"):
+    """Genotype this host's locus shard and gather to host 0."""
+    import io
+    from advntr_tpu.engine.analyzer import GenomeAnalyzer
+    my_loci = shard_loci(list(target_vntr_ids), process_id, num_processes)
+    out = io.StringIO()
+    analyzer = GenomeAnalyzer(ref_vntrs, my_loci, working_dir, outfmt,
+                              config=config, input_file=alignment_file,
+                              out=out)
+    analyzer.find_repeat_counts_from_alignment_file(alignment_file)
+    lines = out.getvalue().strip().splitlines()
+    local = dict(zip(lines[0::2], lines[1::2])) if outfmt == "text" else {
+        "raw": out.getvalue()}
+    return gather_results(local, process_id, num_processes,
+                          working_dir + "/shards")

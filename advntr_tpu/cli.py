@@ -206,6 +206,8 @@ def del_model(args) -> None:
 
 
 def main(argv=None) -> None:
+    from advntr_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.command == "genotype":

@@ -253,25 +253,89 @@ class GenomeAnalyzer:
         elif self.outfmt == "vcf":
             self.print_vcf_header()
 
+    # ---- result checkpoint/resume -----------------------------------------
+    # Per-locus genotypes append to a JSONL checkpoint so an interrupted
+    # panel run resumes where it stopped (the reference's only recovery is
+    # its cached unmapped-FASTA/filter files, sam_utils.py:15-16).
+
+    def _checkpoint_path(self, alignment_file: str):
+        if not self.working_dir:
+            return None
+        base = os.path.basename(alignment_file)
+        return os.path.join(self.working_dir,
+                            f"results_checkpoint_{base}.jsonl")
+
+    def _load_checkpoint(self, path):
+        import json
+        done = {}
+        if path and os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                        done[rec["vid"]] = rec
+                    except (ValueError, KeyError):
+                        continue
+        return done
+
+    @staticmethod
+    def _checkpoint_record(vid, result: GenotypeResult, err: bool) -> dict:
+        return {"vid": vid, "error": err,
+                "copy_numbers": list(result.copy_numbers)
+                if result.copy_numbers is not None else None,
+                "recruited": result.recruited_reads_count,
+                "spanning": result.spanning_reads_count,
+                "flanking": result.flanking_reads_count,
+                "ml": result.maximum_likelihood}
+
     def find_repeat_counts_from_alignment_file(self, alignment_file: str,
                                                accuracy_filter: bool = False,
                                                average_coverage=None,
                                                update: bool = False) -> None:
-        unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
-                                                      illumina=True)
+        import json
+        ckpt_path = self._checkpoint_path(alignment_file)
+        done = self._load_checkpoint(ckpt_path)
+        pending = [vid for vid in self.target_vntr_ids if vid not in done]
+
+        results = {}
+        if pending:
+            unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
+                                                          illumina=True)
+            with open_alignment(alignment_file) as bam:
+                read_length = self._median_read_length(bam)
+                for vid in pending:
+                    finder = self.vntr_finder[vid]
+                    self.model_cache.schedule(
+                        finder.reference_vntr,
+                        finder.get_copies_for_hmm(read_length),
+                        read_length, self.config.max_error_rate)
+                saved_targets = self.target_vntr_ids
+                self.target_vntr_ids = pending
+                try:
+                    results = self._genotype_loci_grouped(
+                        bam, unmapped_by_vid, read_length, accuracy_filter,
+                        average_coverage, update)
+                finally:
+                    self.target_vntr_ids = saved_targets
+            if ckpt_path:
+                with open(ckpt_path, "a") as fh:
+                    for vid in pending:
+                        result, err = results[vid]
+                        fh.write(json.dumps(
+                            self._checkpoint_record(vid, result, err)) + "\n")
+
         self._emit_header()
-        with open_alignment(alignment_file) as bam:
-            read_length = self._median_read_length(bam)
-            for vid in self.target_vntr_ids:
-                finder = self.vntr_finder[vid]
-                self.model_cache.schedule(
-                    finder.reference_vntr, finder.get_copies_for_hmm(read_length),
-                    read_length, self.config.max_error_rate)
-            results = self._genotype_loci_grouped(
-                bam, unmapped_by_vid, read_length, accuracy_filter,
-                average_coverage, update)
         for vid in self.target_vntr_ids:
-            result, err = results[vid]
+            if vid in results:
+                result, err = results[vid]
+            else:
+                rec = done[vid]
+                result = GenotypeResult(
+                    tuple(rec["copy_numbers"])
+                    if rec["copy_numbers"] is not None else None,
+                    rec["recruited"], rec["spanning"], rec["flanking"],
+                    rec["ml"])
+                err = rec["error"]
             self.print_genotype(vid, result, encountered_error=err)
 
     def _genotype_loci_grouped(self, bam, unmapped_by_vid, read_length,

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from advntr_tpu.models.graph import K_MATCH, R_SUFFIX, R_REPEAT, R_PREFIX
+from advntr_tpu.models.graph import K_MATCH, R_SUFFIX, R_REPEAT, R_PREFIX  # noqa
 from advntr_tpu.ops.viterbi import viterbi_batch, prepare_model_tensors
 
 MIN_BP_IN_REPEAT = 3  # reference: hmm_utils.py:165
@@ -33,12 +33,7 @@ class DeviceModel:
     kind: jnp.ndarray          # (n,) int8
     region: jnp.ndarray        # (n,) int8
     exp_base: jnp.ndarray      # (n,) int8
-    t_unit_starts: jnp.ndarray  # (n, n) int8
-    t_unit_ends: jnp.ndarray
-    s_unit_starts: jnp.ndarray  # (n,)
-    s_unit_ends: jnp.ndarray
-    e_unit_starts: jnp.ndarray
-    e_unit_ends: jnp.ndarray
+    unit: jnp.ndarray          # (n,) int32
 
     @classmethod
     def from_artifact(cls, art, dtype=jnp.float32) -> "DeviceModel":
@@ -47,16 +42,15 @@ class DeviceModel:
             log_T=log_T, log_E=log_E, log_start=log_start, log_end=log_end,
             kind=jnp.asarray(art.kind), region=jnp.asarray(art.region),
             exp_base=jnp.asarray(art.exp_base),
-            t_unit_starts=jnp.asarray(art.t_unit_starts),
-            t_unit_ends=jnp.asarray(art.t_unit_ends),
-            s_unit_starts=jnp.asarray(art.s_unit_starts),
-            s_unit_ends=jnp.asarray(art.s_unit_ends),
-            e_unit_starts=jnp.asarray(art.e_unit_starts),
-            e_unit_ends=jnp.asarray(art.e_unit_ends),
+            unit=jnp.asarray(art.unit),
         )
 
     def flat(self):
         return dataclasses.astuple(self)
+
+    @property
+    def meta(self):
+        return (self.kind, self.region, self.exp_base, self.unit)
 
 
 @functools.partial(jax.jit, static_argnames=("return_path",))
@@ -72,19 +66,26 @@ def read_stats(model_arrays, seqs, lengths, return_path: bool = False):
       left_flank_matches, right_flank_matches (+ path if requested)
     """
     (log_T, log_E, log_start, log_end, kind, region, exp_base,
-     t_us, t_ue, s_us, s_ue, e_us, e_ue) = model_arrays
+     unit) = model_arrays
     seqs = seqs.astype(jnp.int32)
     logp, end_state, path = viterbi_batch(log_T, log_E, log_start, log_end,
                                           seqs, lengths, return_path=True)
-    return analytics_from_path(model_arrays[4:], logp, path, seqs, lengths,
-                               return_path=return_path)
+    return analytics_from_path((kind, region, exp_base, unit), logp, path,
+                               seqs, lengths, return_path=return_path)
 
 
 def analytics_from_path(meta_arrays, logp, path, seqs, lengths,
                         return_path: bool = False):
     """Vectorized per-read statistics from a decoded path (artifact-space
-    state indices) + compiled metadata tables."""
-    (kind, region, exp_base, t_us, t_ue, s_us, s_ue, e_us, e_ue) = meta_arrays
+    state indices) + compiled metadata vectors.
+
+    Unit-boundary crossings per hop follow closed-form rules in (region,
+    unit, kind) — deletion chains always cost probability, so the
+    minimal-crossing silent route wins every argmax; the rules are verified
+    against the compiler's exhaustive crossing tables in
+    tests/test_crossing_formulas.py.
+    """
+    (kind, region, exp_base, unit) = meta_arrays
     B, L = seqs.shape
     seqs = seqs.astype(jnp.int32)
 
@@ -94,6 +95,7 @@ def analytics_from_path(meta_arrays, logp, path, seqs, lengths,
     p_kind = jnp.take(kind, path)
     p_region = jnp.take(region, path)
     p_exp = jnp.take(exp_base, path)
+    p_unit = jnp.take(unit, path).astype(jnp.int32)
 
     is_m = (p_kind == K_MATCH) & valid
     base_match = (p_exp == seqs) & is_m
@@ -110,22 +112,44 @@ def analytics_from_path(meta_arrays, logp, path, seqs, lengths,
 
     # ---- repeat-unit counting (reference: hmm_utils.py:155-188) -----------
     # hop h sits before emitting position h; hop L(ength) is the end hop.
-    prev = path[:, :-1]
-    nxt = path[:, 1:]
-    hop_us = jnp.concatenate([
-        jnp.take(s_us, path[:, :1]).astype(jnp.int32),
-        t_us[prev, nxt].astype(jnp.int32)], axis=1)          # (B, L)
-    hop_ue = jnp.concatenate([
-        jnp.take(s_ue, path[:, :1]).astype(jnp.int32),
-        t_ue[prev, nxt].astype(jnp.int32)], axis=1)
+    r_i, r_j = p_region[:, :-1], p_region[:, 1:]
+    u_i, u_j = p_unit[:, :-1], p_unit[:, 1:]
+    base = jnp.where(r_i == R_REPEAT, u_i, -1)
+    starts_rep = u_j - base
+    ends_rep = starts_rep - (r_i == R_SUFFIX).astype(jnp.int32)
+    hop_us_t = jnp.where(r_j == R_REPEAT, starts_rep,
+                         jnp.where((r_j == R_PREFIX) & (r_i == R_SUFFIX),
+                                   1, 0))
+    hop_ue_t = jnp.where(r_j == R_REPEAT, ends_rep,
+                         jnp.where((r_j == R_PREFIX) & (r_i == R_REPEAT), 1,
+                                   jnp.where((r_j == R_PREFIX)
+                                             & (r_i == R_SUFFIX), 1, 0)))
+    hop_us_t = jnp.maximum(hop_us_t, 0)
+    hop_ue_t = jnp.maximum(hop_ue_t, 0)
+    # start hop: direct entry to a unit-0 match is crossing-free
+    j0_region = p_region[:, 0]
+    j0_unit = p_unit[:, 0]
+    j0_rep = j0_region == R_REPEAT
+    j0_unit0_match = j0_rep & (j0_unit == 0) & (p_kind[:, 0] == K_MATCH)
+    s_us = jnp.where(j0_rep & ~j0_unit0_match, j0_unit + 1,
+                     jnp.where(j0_region == R_PREFIX, 1, 0))
+    s_ue = jnp.where(j0_rep & ~j0_unit0_match, j0_unit,
+                     jnp.where(j0_region == R_PREFIX, 1, 0))
+    hop_us = jnp.concatenate([s_us[:, None], hop_us_t], axis=1)   # (B, L)
+    hop_ue = jnp.concatenate([s_ue[:, None], hop_ue_t], axis=1)
     # mask hops past each read: hops 1..length-1 valid, hop 0 always valid
     hop_valid = tpos < lengths[:, None]
     hop_us = jnp.where(hop_valid, hop_us, 0)
     hop_ue = jnp.where(hop_valid, hop_ue, 0)
-    # end hop contributes at bp = length
-    last_state = jnp.take_along_axis(path, (lengths - 1)[:, None], axis=1)[:, 0]
-    end_us = jnp.take(e_us, last_state).astype(jnp.int32)
-    end_ue = jnp.take(e_ue, last_state).astype(jnp.int32)
+    # end hop contributes at bp = length: a repeat match exits directly, a
+    # repeat insert exits through its unit_end; a suffix exit deletes one
+    # whole unit
+    last_idx = (lengths - 1)[:, None]
+    li_region = jnp.take_along_axis(p_region, last_idx, axis=1)[:, 0]
+    li_kind = jnp.take_along_axis(p_kind, last_idx, axis=1)[:, 0]
+    end_us = jnp.where(li_region == R_SUFFIX, 1, 0)
+    end_ue = jnp.where((li_region == R_REPEAT) & (li_kind != K_MATCH), 1,
+                       jnp.where(li_region == R_SUFFIX, 1, 0))
 
     bp = tpos  # bp count at hop h is h
     guard_start = (lengths[:, None] - bp) >= MIN_BP_IN_REPEAT

@@ -177,18 +177,13 @@ class LocusModelCache:
 
     def _build_from_payload(self, art, sm) -> LocusModel:
         import jax.numpy as jnp
-        # metadata tables padded to the state bucket so same-bucket loci can
-        # stack into one grouped executable
+        # metadata vectors padded to the state bucket so same-bucket loci
+        # can stack into one grouped executable
         meta_art = _pad_artifact(art, _round_up(art.n_states,
                                                 self.state_bucket))
         meta = (jnp.asarray(meta_art.kind), jnp.asarray(meta_art.region),
                 jnp.asarray(meta_art.exp_base),
-                jnp.asarray(meta_art.t_unit_starts),
-                jnp.asarray(meta_art.t_unit_ends),
-                jnp.asarray(meta_art.s_unit_starts),
-                jnp.asarray(meta_art.s_unit_ends),
-                jnp.asarray(meta_art.e_unit_starts),
-                jnp.asarray(meta_art.e_unit_ends))
+                jnp.asarray(meta_art.unit))
         struct = None
         suffix_last = -1
         if self.use_struct and sm is not None:

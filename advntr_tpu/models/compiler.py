@@ -305,6 +305,127 @@ def expand_path(art: ModelArtifact, state_path) -> list[str]:
     return out
 
 
+def compile_graph_sum(g: HmmGraph):
+    """Sum-semiring (forward-algorithm) silent-state elimination.
+
+    Like compile_graph but closing silent chains with log-sum-exp instead of
+    max — exact for the forward algorithm because silent-path weights are
+    observation-independent, so total path probability factorizes through
+    the summed silent closure.  Returns (log_T, log_E, log_start, log_end)
+    float64 arrays over the same emitting-state ordering as compile_graph.
+    """
+    n_all = len(g.states)
+    emitting = [i for i, s in enumerate(g.states)
+                if not s.is_silent and i not in (g.start, g.end)]
+    silent = [i for i, s in enumerate(g.states)
+              if s.is_silent or i in (g.start, g.end)]
+    topo = _topo_sort_silent(g, silent)
+    e_of = {s: k for k, s in enumerate(emitting)}
+    s_of = {s: k for k, s in enumerate(topo)}
+    n_e, n_s = len(emitting), len(topo)
+    start_s, end_s = s_of[g.start], s_of[g.end]
+
+    with np.errstate(divide="ignore"):
+        def lg(p):
+            return np.log(p) if p > 0 else NEG
+        W_ee = np.full((n_e, n_e), NEG)
+        W_es = np.full((n_e, n_s), NEG)
+        W_se = np.full((n_s, n_e), NEG)
+        ss_edges: list[list[tuple[int, float]]] = [[] for _ in range(n_s)]
+        for (a, b), p in g.edges.items():
+            w = lg(p)
+            if a in e_of and b in e_of:
+                W_ee[e_of[a], e_of[b]] = w
+            elif a in e_of:
+                W_es[e_of[a], s_of[b]] = w
+            elif b in e_of:
+                W_se[s_of[a], e_of[b]] = w
+            else:
+                ss_edges[s_of[b]].append((s_of[a], w))
+
+    C = W_es.copy()
+    for k in range(n_s):
+        for (src, w) in ss_edges[k]:
+            C[:, k] = np.logaddexp(C[:, k], C[:, src] + w)
+    C0 = np.full(n_s, NEG)
+    C0[start_s] = 0.0
+    for k in range(n_s):
+        for (src, w) in ss_edges[k]:
+            C0[k] = np.logaddexp(C0[k], C0[src] + w)
+
+    log_T = W_ee.copy()
+    log_start = np.full(n_e, NEG)
+    for k in range(n_s):
+        outs = np.nonzero(np.isfinite(W_se[k]))[0]
+        for j in outs:
+            log_T[:, j] = np.logaddexp(log_T[:, j], C[:, k] + W_se[k, j])
+            log_start[j] = np.logaddexp(log_start[j], C0[k] + W_se[k, j])
+    log_end = C[:, end_s].copy()
+
+    log_E = np.full((n_e, 4), NEG)
+    for i, gi in enumerate(emitting):
+        st = g.states[gi]
+        for bi, b in enumerate("ACGT"):
+            p = st.emission.get(b, 0.0)
+            log_E[i, bi] = np.log(p) if p > 0 else NEG
+    return log_T, log_E, log_start, log_end
+
+
+def forward_full_graph(g: HmmGraph, codes: np.ndarray) -> float:
+    """Forward-algorithm oracle over the full graph with silent states
+    (reference semantics: pomegranate/hmm.pyx:1371 — same pass structure as
+    Viterbi but with log-sum-exp accumulation)."""
+    emitting = [i for i, s in enumerate(g.states)
+                if not s.is_silent and i not in (g.start, g.end)]
+    silent_topo = _topo_sort_silent(
+        g, [i for i, s in enumerate(g.states)
+            if s.is_silent or i in (g.start, g.end)])
+    order = emitting + silent_topo
+    o_of = {s: k for k, s in enumerate(order)}
+    m = len(order)
+    silent_start = len(emitting)
+    start_o, end_o = o_of[g.start], o_of[g.end]
+    in_edges: list[list[tuple[int, float]]] = [[] for _ in range(m)]
+    with np.errstate(divide="ignore"):
+        for (a, b), p in g.edges.items():
+            in_edges[o_of[b]].append((o_of[a], np.log(p) if p > 0 else NEG))
+    log_e = np.full((m, 4), NEG)
+    for k in range(silent_start):
+        st = g.states[order[k]]
+        for bi, b in enumerate("ACGT"):
+            p = st.emission.get(b, 0.0)
+            log_e[k, bi] = np.log(p) if p > 0 else NEG
+
+    n = len(codes)
+    v = np.full(m, NEG)
+    v[start_o] = 0.0
+    for l in range(silent_start, m):
+        if l == start_o:
+            continue
+        for (ki, w) in in_edges[l]:
+            if ki < silent_start or ki >= l:
+                continue
+            v[l] = np.logaddexp(v[l], v[ki] + w)
+    for i in range(n):
+        nv = np.full(m, NEG)
+        for l in range(silent_start):
+            for (ki, w) in in_edges[l]:
+                nv[l] = np.logaddexp(nv[l], v[ki] + w)
+            nv[l] += log_e[l, codes[i]]
+        for l in range(silent_start, m):
+            for (ki, w) in in_edges[l]:
+                if ki >= silent_start:
+                    continue
+                nv[l] = np.logaddexp(nv[l], nv[ki] + w)
+        for l in range(silent_start, m):
+            for (ki, w) in in_edges[l]:
+                if ki < silent_start or ki >= l:
+                    continue
+                nv[l] = np.logaddexp(nv[l], nv[ki] + w)
+        v = nv
+    return float(v[end_o])
+
+
 def score_visited_path(g: HmmGraph, visited: list[str],
                        codes: np.ndarray) -> float:
     """Score a full visited-state path (names, excluding model start/end)

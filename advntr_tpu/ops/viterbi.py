@@ -134,6 +134,38 @@ def viterbi_batch(log_T, log_E, log_start, log_end, seqs, lengths,
     return best, end_state, path
 
 
+@jax.jit
+def forward_batch(log_T, log_E, log_start, log_end, seqs, lengths):
+    """Batched forward algorithm (log-likelihood) over sum-closed matrices
+    from compile_graph_sum.  Same masking/latching scheme as viterbi_batch
+    but with log-sum-exp accumulation.  Returns loglik (B,)."""
+    B, L = seqs.shape
+    seqs = seqs.astype(jnp.int32)
+    emis = jnp.transpose(jnp.take(log_E, seqs.T, axis=1), (1, 2, 0))
+
+    def lse(x, axis):
+        mx = jnp.max(x, axis=axis)
+        return mx + jnp.log(jnp.sum(jnp.exp(x - jnp.expand_dims(mx, axis)),
+                                    axis=axis))
+
+    v0 = log_start[None, :] + emis[0]
+    best0 = lse(v0 + log_end[None, :], 1)
+
+    def step(carry, inputs):
+        v, best = carry
+        emis_t, t = inputs
+        new_v = lse(v[:, :, None] + log_T[None, :, :], 1) + emis_t
+        active = (t < lengths)[:, None]
+        new_v = jnp.where(active, new_v, v)
+        fin = lse(new_v + log_end[None, :], 1)
+        best = jnp.where(t == lengths - 1, fin, best)
+        return (new_v, best), None
+
+    ts = jnp.arange(1, L, dtype=jnp.int32)
+    (_, best), _ = jax.lax.scan(step, (v0, best0), (emis[1:], ts))
+    return best
+
+
 def prepare_model_tensors(art, dtype=jnp.float32):
     """Convert a ModelArtifact's -inf entries to a large negative finite value
     (f32-safe) and upload as device arrays."""

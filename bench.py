@@ -48,6 +48,8 @@ def simulate_reads(left, pattern, right, read_length, n_reads, seed=9):
 
 
 def main():
+    from advntr_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     read_length = 150
     B = 4096
     graph, art, left, right, pattern = build_locus(read_length)
@@ -85,15 +87,18 @@ def main():
     t1 = time.perf_counter()
     device_rate = B * iters / (t1 - t0)
 
-    # CPU baseline: reference-style sparse Viterbi (C++), single core
+    # CPU baseline: reference-style sparse Viterbi (C++), single core;
+    # median of three trials to damp scheduler noise on the shared host
     from advntr_tpu.native_bridge import SparseViterbiModel
     cpu_model = SparseViterbiModel(graph)
-    n_cpu = 12
-    t0 = time.perf_counter()
-    for r in rows[:n_cpu]:
-        cpu_model.viterbi(r)
-    t1 = time.perf_counter()
-    cpu_rate = n_cpu / (t1 - t0)
+    n_cpu = 24
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for r in rows[:n_cpu]:
+            cpu_model.viterbi(r)
+        rates.append(n_cpu / (time.perf_counter() - t0))
+    cpu_rate = sorted(rates)[1]
 
     result = {
         "metric": "viterbi_read_decodes_per_sec_per_chip",

@@ -1,0 +1,55 @@
+"""Checkpoint/resume: an interrupted panel run resumes from the per-locus
+result checkpoint without re-scoring completed loci."""
+
+import io
+import json
+import os
+import random
+
+from advntr_tpu.config import Config
+from advntr_tpu.engine.analyzer import GenomeAnalyzer
+from advntr_tpu.engine.simulate import simulate_diploid_reads
+from advntr_tpu.io.bam import BamRead, BamWriter
+from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+
+def _rand_seq(seed, n):
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def test_resume_from_checkpoint(tmp_path):
+    pattern = "GATCGATTCGAA"
+    ref = ReferenceVNTR(55, pattern, 1000, "chr1")
+    ref.repeat_segments = [pattern] * 3
+    ref.left_flanking_region = _rand_seq(21, 200)
+    ref.right_flanking_region = _rand_seq(22, 200)
+    reads, _, _ = simulate_diploid_reads(
+        ref.left_flanking_region, pattern, 2, 4, ref.right_flanking_region,
+        read_length=100, coverage=30, error_rate=0.002, seed=9)
+    bam_path = str(tmp_path / "s.bam")
+    with BamWriter(bam_path, ["chr1"], [100000]) as w:
+        for name, seq in reads:
+            w.write(BamRead(name, 4, -1, -1, 0, [], seq, [38] * len(seq)))
+
+    def run():
+        out = io.StringIO()
+        analyzer = GenomeAnalyzer([ref], [55], str(tmp_path) + "/", "text",
+                                  config=Config(), out=out,
+                                  input_file=bam_path)
+        analyzer.find_repeat_counts_from_alignment_file(bam_path)
+        return out.getvalue().strip().splitlines()
+
+    first = run()
+    assert first == ["55", "2/4"]
+    ckpt = str(tmp_path) + f"/results_checkpoint_s.bam.jsonl"
+    assert os.path.exists(ckpt)
+    rec = json.loads(open(ckpt).readline())
+    assert rec["vid"] == 55 and rec["copy_numbers"] == [2, 4]
+
+    # tamper with the checkpoint to prove the second run replays it
+    with open(ckpt, "w") as fh:
+        rec["copy_numbers"] = [7, 9]
+        fh.write(json.dumps(rec) + "\n")
+    second = run()
+    assert second == ["55", "7/9"]

@@ -74,6 +74,8 @@ class StructDeviceModel:
     log_end_struct: jnp.ndarray
     log_T_struct_t: jnp.ndarray   # (n, n): row s = in-edge weights of s,
                                   # both axes in structured coordinates
+    Wd: jnp.ndarray               # (rounds_p, P) delete-chain shift-decay
+    Wu: jnp.ndarray               # (rounds_c, C) unit-chain shift-decay
 
     @classmethod
     def from_struct(cls, sm, art, dtype=jnp.float32) -> "StructDeviceModel":
@@ -82,6 +84,27 @@ class StructDeviceModel:
         log_T = _np.where(_np.isfinite(log_T), log_T, _np.float64(NEG32))
         s2a = _np.asarray(sm.struct_to_art)
         log_T_struct_t = log_T[_np.ix_(s2a, s2a)].T
+        # shift-decay window tables: the tropical scan y_p = max(y_{p-1}+d_p,
+        # b_p) unrolls into log2 rounds v = max(v, shift(v, 2^r) + W_r) with
+        # W_r[j] = sum of d over (j-2^r, j] (-inf across chain resets)
+        P, C = sm.P, sm.C
+        dd = _np.asarray(sm.dd, dtype=_np.float64)
+        dd = _np.where(_np.isfinite(dd), dd, _np.float64(NEG32))
+        rounds_p = max(1, int(_np.ceil(_np.log2(max(P, 2)))))
+        Wd = _np.zeros((rounds_p, P))
+        Wd[0] = dd
+        for r in range(1, rounds_p):
+            k = 1 << (r - 1)
+            shifted = _np.concatenate(
+                [_np.full(k, _np.float64(NEG32)), Wd[r - 1][:-k]])
+            Wd[r] = _np.maximum(Wd[r - 1] + shifted, _np.float64(-1e32))
+        rho = float(_np.where(_np.isfinite(sm.r_unit),
+                              sm.r_unit, NEG32)) + LN05
+        rounds_c = max(1, int(_np.ceil(_np.log2(max(C, 2)))))
+        Wu = _np.full((rounds_c, C), _np.float64(NEG32))
+        for r in range(rounds_c):
+            k = 1 << r
+            Wu[r, k:] = max(rho * k, float(NEG32))
         return cls(
             blk_idx=jnp.asarray(sm.blk_idx),
             eM=_clean(sm.eM, dtype), eI=_clean(sm.eI, dtype),
@@ -104,7 +127,8 @@ class StructDeviceModel:
             I0_start=_clean(sm.I0_start, dtype),
             struct_to_art=jnp.asarray(sm.struct_to_art),
             log_end_struct=_clean(sm.log_end_struct, dtype),
-            log_T_struct_t=jnp.asarray(log_T_struct_t, dtype=dtype))
+            log_T_struct_t=jnp.asarray(log_T_struct_t, dtype=dtype),
+            Wd=jnp.asarray(Wd, dtype=dtype), Wu=jnp.asarray(Wu, dtype=dtype))
 
     def flat(self):
         return dataclasses.astuple(self)
@@ -116,14 +140,23 @@ def _shift1(x):
     return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
-def _tropical_scan(decay, b):
-    """y_p = max(y_{p-1} + decay_p, b_p) along the last axis, y_{-1}=-inf."""
-    def combine(l, r):
-        dl, vl = l
-        dr, vr = r
-        return dl + dr, jnp.maximum(vl + dr, vr)
-    _, y = jax.lax.associative_scan(combine, (decay, b), axis=-1)
-    return y
+def _shiftk(x, k):
+    """Right-shift along the last axis by k, filling with -1e30."""
+    pad = jnp.full(x.shape[:-1] + (k,), NEG32, dtype=x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
+def _shift_decay_scan(W, b):
+    """Tropical scan y_p = max_{k<=p}(b_k + window(k, p)) via precomputed
+    shift-decay rounds W (rounds, P)."""
+    v = b
+    P = b.shape[-1]
+    for r in range(W.shape[0]):
+        k = 1 << r
+        if k >= P:
+            break
+        v = jnp.maximum(v, _shiftk(v, k) + W[r][None, :])
+    return v
 
 
 @functools.partial(jax.jit, static_argnames=("return_path",))
@@ -149,7 +182,7 @@ def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
             jnp.maximum(_shift1(Mn) + m.md[None, :],
                         _shift1(In) + m.idw[None, :]),
             I0_by_pos + m.i0_d[None, :])
-        Dinner = _tropical_scan(jnp.broadcast_to(m.dd[None, :], bb.shape), bb)
+        Dinner = _shift_decay_scan(m.Wd, bb)
         ul = m.unit_last
         q = jnp.maximum(
             jnp.maximum(jnp.take(Mn, ul, axis=1) + jnp.take(m.xm, ul)[None, :],
@@ -162,8 +195,7 @@ def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
             jnp.take(Dinner, sl, axis=1) + jnp.take(m.xd, sl))
         # unit_start chain: us_c = max(s_c, us_{c-1} + r_unit + ln(1/2))
         s = jnp.concatenate([sufq[:, None], q[:, :-1] + LN05], axis=1)
-        rho = m.r_unit + LN05
-        us = _tropical_scan(jnp.broadcast_to(rho, s.shape), s)        # (B,C)
+        us = _shift_decay_scan(m.Wu, s)                               # (B,C)
         ue = jnp.maximum(q, us + m.r_unit)
         pstart = jnp.max(ue + LN05, axis=1)    # end_repeats -> prefix_start
         hub = jnp.concatenate(

@@ -1,0 +1,105 @@
+"""Evaluation and reporting utilities (offline analysis).
+
+Capability-equivalent to the analysis side of the reference's
+advntr/plot.py + pairwise_aln_generator.py: genotype-accuracy comparison
+against truth sets, recruitment precision/recall bookkeeping, and human-
+readable pairwise alignment reports of decoded repeat units against their
+consensus (for debugging locus models).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import Counter
+
+
+@dataclasses.dataclass
+class GenotypeComparison:
+    n_loci: int
+    correct: int
+    incorrect: int
+    missing: int
+    errors: int
+    mismatches: list
+
+    @property
+    def accuracy(self) -> float:
+        return self.correct / self.n_loci if self.n_loci else 0.0
+
+
+def compare_genotypes(called: dict, truth: dict) -> GenotypeComparison:
+    """called/truth: {vid: (a, b) or None}; order-insensitive comparison."""
+    correct = incorrect = missing = errors = 0
+    mismatches = []
+    for vid, want in truth.items():
+        got = called.get(vid)
+        if got == "Error":
+            errors += 1
+            mismatches.append((vid, want, got))
+        elif got is None:
+            missing += 1
+            mismatches.append((vid, want, None))
+        elif tuple(sorted(got)) == tuple(sorted(want)):
+            correct += 1
+        else:
+            incorrect += 1
+            mismatches.append((vid, want, got))
+    return GenotypeComparison(len(truth), correct, incorrect, missing,
+                              errors, mismatches)
+
+
+def recruitment_metrics(selected_names, true_names, all_names):
+    """Precision/recall of read recruitment vs a truth set
+    (the comparison the reference runs against BLAST/bowtie2 recruiters,
+    deep_recruitment.py:148-263)."""
+    selected = set(selected_names)
+    true = set(true_names)
+    tp = len(selected & true)
+    fp = len(selected - true)
+    fn = len(true - selected)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall}
+
+
+def consensus_of_units(units: list[str]) -> str:
+    """Majority consensus of aligned repeat units."""
+    from advntr_tpu.models.msa import center_star_msa
+    if not units:
+        return ""
+    if len(units) == 1:
+        return units[0]
+    aligned = center_star_msa(units)
+    out = []
+    for col in range(len(aligned[0])):
+        counts = Counter(row[col] for row in aligned)
+        best, _ = counts.most_common(1)[0]
+        if best != "-":
+            out.append(best)
+    return "".join(out)
+
+
+def pairwise_alignment_report(unit: str, consensus: str) -> str:
+    """Three-line alignment block (query / match bars / reference), the
+    debugging artifact pairwise_aln_generator.py produces per repeat unit."""
+    from advntr_tpu.models.msa import needleman_wunsch
+    a, b, score = needleman_wunsch(unit, consensus)
+    bars = "".join("|" if x == y and x != "-" else " " for x, y in zip(a, b))
+    return f"unit:      {a}\n           {bars}\nconsensus: {b}\nscore: {score}"
+
+
+def locus_alignment_report(sequence: str, visited_states: list[str]) -> str:
+    """Per-unit alignment report of a decoded read against the locus
+    consensus."""
+    from advntr_tpu.engine.analytics import extract_repeating_segments
+    units, _ = extract_repeating_segments(sequence, visited_states)
+    if not units:
+        return "no complete repeat units decoded"
+    consensus = consensus_of_units(units)
+    blocks = [f"consensus ({len(units)} units): {consensus}", ""]
+    for i, unit in enumerate(units):
+        blocks.append(f"[unit {i}]")
+        blocks.append(pairwise_alignment_report(unit, consensus))
+        blocks.append("")
+    return "\n".join(blocks)

@@ -705,13 +705,39 @@ class VNTRFinder:
         length_dist.append(start_r - (start_l + flank_size))
 
     def get_spanning_reads_of_unaligned_pacbio_reads(self, unmapped_reads):
-        spanning: list = []
-        length_dist: list = []
+        """Batched flank anchoring: both orientations of every long read are
+        aligned against both 100bp flank probes in four device passes
+        (the reference forks one process per read and runs Bio.pairwise2,
+        vntr_finder.py:423-439)."""
+        from advntr_tpu.ops.align import anchor_probe_batch
+        flank_size = 100
+        left = self.reference_vntr.left_flanking_region[-flank_size:]
+        right = self.reference_vntr.right_flanking_region[:flank_size]
+        min_l = len(left) * (1 - self.config.max_error_rate)
+        min_r = len(right) * (1 - self.config.max_error_rate)
+
+        names, seqs, codes = [], [], []
         for name, seq in unmapped_reads:
             seq = seq.upper()
-            self._check_flanks_align(seq, name, spanning, length_dist)
-            self._check_flanks_align(dna.revcomp(seq), name, spanning,
-                                     length_dist)
+            rev = dna.revcomp(seq)
+            for s in (seq, rev):
+                names.append(name)
+                seqs.append(s)
+                codes.append(dna.encode(s))
+        spanning: list = []
+        length_dist: list = []
+        if not codes:
+            return spanning, length_dist
+        res_l = anchor_probe_batch(codes, dna.encode(left))
+        res_r = anchor_probe_batch(codes, dna.encode(right))
+        for name, s, (score_l, start_l, _), (score_r, start_r, _) in zip(
+                names, seqs, res_l, res_r):
+            if score_l < min_l or score_r < min_r:
+                continue
+            if start_r < start_l:
+                continue
+            spanning.append((name, s[start_l:start_r + flank_size]))
+            length_dist.append(start_r - (start_l + flank_size))
         logging.info("length_distribution of unmapped spanning reads: %s",
                      length_dist)
         return spanning, length_dist

@@ -68,6 +68,78 @@ def local_align(read: str, probe: str):
     return best_score, i, best_i
 
 
+def local_align_batch(reads, lengths, probe):
+    """Batched Smith-Waterman of one probe against many reads (device).
+
+    reads: (B, L) int8 codes; lengths: (B,); probe: (m,) int8.
+    Returns (score (B,), end (B,)): best local-alignment score and the
+    end position (exclusive) of the aligned window in each read.  The start
+    position comes from a second pass on reversed reads (local alignment is
+    reversal-symmetric): start = length - end_reversed.
+
+    Scores match ``local_align`` / Bio.pairwise2 localms(1,-1,-1,-1).
+    The within-row left-gap dependency collapses into a cummax with linear
+    decay, so each row is O(m) vector work.
+    """
+    import jax
+    import jax.numpy as jnp
+    B, L = reads.shape
+    m = probe.shape[0]
+    reads = jnp.asarray(reads).astype(jnp.int32)
+    probe = jnp.asarray(probe).astype(jnp.int32)
+    lengths = jnp.asarray(lengths).astype(jnp.int32)
+    ar = jnp.arange(m, dtype=jnp.int32)
+
+    def step(carry, inputs):
+        H, best, best_end = carry           # H: (B, m+1) int32
+        base_t, t = inputs                  # (B,), scalar
+        sub = jnp.where(probe[None, :] == base_t[:, None], 1, -1)
+        cand = jnp.maximum(
+            jnp.maximum(H[:, :-1] + sub, H[:, 1:] - 1), 0)
+        row_tail = jax.lax.cummax(cand + ar[None, :], axis=1) - ar[None, :]
+        new_H = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype=jnp.int32), row_tail], axis=1)
+        active = (t < lengths)[:, None]
+        new_H = jnp.where(active, new_H, H)
+        mx = jnp.max(new_H, axis=1)
+        better = active[:, 0] & (mx > best)
+        best = jnp.where(better, mx, best)
+        best_end = jnp.where(better, t + 1, best_end)
+        return (new_H, best, best_end), None
+
+    H0 = jnp.zeros((B, m + 1), dtype=jnp.int32)
+    best0 = jnp.zeros(B, dtype=jnp.int32)
+    end0 = jnp.zeros(B, dtype=jnp.int32)
+    ts = jnp.arange(L, dtype=jnp.int32)
+    (_, best, best_end), _ = jax.lax.scan(step, (H0, best0, end0),
+                                          (reads.T, ts))
+    return best, best_end
+
+
+def anchor_probe_batch(read_codes_list, probe_codes):
+    """Host wrapper: for each encoded read, the best (score, start, end) of
+    the probe's local alignment — two batched passes (forward + reversed)."""
+    import jax.numpy as jnp
+    from advntr_tpu import dna
+    if not read_codes_list:
+        return []
+    batch, lengths = dna.pad_batch(read_codes_list, multiple=32)
+    rev_rows = [r[::-1].copy() for r in read_codes_list]
+    rev_batch, _ = dna.pad_batch(rev_rows, pad_to=batch.shape[1], multiple=1)
+    probe = np.asarray(probe_codes, dtype=np.int8)
+    rev_probe = probe[::-1].copy()
+    score, end = local_align_batch(jnp.asarray(batch), jnp.asarray(lengths),
+                                   jnp.asarray(probe))
+    score_r, end_r = local_align_batch(jnp.asarray(rev_batch),
+                                       jnp.asarray(lengths),
+                                       jnp.asarray(rev_probe))
+    score = np.asarray(score)
+    end = np.asarray(end)
+    start = lengths - np.asarray(end_r)
+    return [(int(score[i]), int(start[i]), int(end[i]))
+            for i in range(len(read_codes_list))]
+
+
 def global_align_score(a: str, b: str) -> int:
     """Needleman-Wunsch score with (1,-1,-1,-1) — used for unique-flank
     estimation (reference: vntr_finder.py:78-96)."""

@@ -247,7 +247,7 @@ def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
     ts = jnp.arange(1, L, dtype=jnp.int32)
     (Mf, If, I0f, _, _, best), v_planes = jax.lax.scan(
         step, (M0, Iv0, I00, D0, hub0, finals0),
-        (eM_x[1:], eI_x[1:], eI0_x[1:], ts), unroll=4)
+        (eM_x[1:], eI_x[1:], eI0_x[1:], ts))
 
     if not return_path:
         return best, None, None
@@ -265,7 +265,7 @@ def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
 
     ts_rev = jnp.arange(L - 1, 0, -1, dtype=jnp.int32)
     cur_last, emitted = jax.lax.scan(back_step, end_state_s,
-                                     (v_planes[::-1], ts_rev), unroll=4)
+                                     (v_planes[::-1], ts_rev))
     path_s = jnp.concatenate([cur_last[:, None], emitted[::-1].T], axis=1)
     path_s = jnp.where((lengths == 1)[:, None],
                        jnp.broadcast_to(end_state_s[:, None], path_s.shape),

@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import numpy as np
     import jax
+    # honor an explicit CPU request despite the container's axon default
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
 
     device_counts = [int(a) for a in sys.argv[1:]] or None
     n_avail = len(jax.devices())

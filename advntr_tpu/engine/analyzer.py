@@ -379,7 +379,7 @@ class GenomeAnalyzer:
                     continue
                 key = (lm.struct.blk_idx.shape[0],
                        lm.struct.unit_last.shape[0],
-                       lm.struct.struct_to_art.shape[0],
+                       lm.struct.log_T_struct_t.shape[0],
                        lm.meta[0].shape[0])
                 prepped[vid] = (finder, lm, reads, rows, row_info)
                 groups[key].append(vid)

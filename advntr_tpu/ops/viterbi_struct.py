@@ -72,13 +72,18 @@ class StructDeviceModel:
     I0_start: jnp.ndarray
     struct_to_art: jnp.ndarray
     log_end_struct: jnp.ndarray
+    log_T_struct_t: jnp.ndarray   # (n, n): row s = in-edge weights of s,
+                                  # both axes in structured coordinates
     Wd: jnp.ndarray               # (rounds_p, P) delete-chain shift-decay
     Wu: jnp.ndarray               # (rounds_c, C) unit-chain shift-decay
 
     @classmethod
     def from_struct(cls, sm, art, dtype=jnp.float32) -> "StructDeviceModel":
         import numpy as _np
+        log_T = _np.asarray(art.log_T, dtype=_np.float64)
+        log_T = _np.where(_np.isfinite(log_T), log_T, _np.float64(NEG32))
         s2a = _np.asarray(sm.struct_to_art)
+        log_T_struct_t = log_T[_np.ix_(s2a, s2a)].T
         # shift-decay window tables: the tropical scan y_p = max(y_{p-1}+d_p,
         # b_p) unrolls into log2 rounds v = max(v, shift(v, 2^r) + W_r) with
         # W_r[j] = sum of d over (j-2^r, j] (-inf across chain resets)
@@ -120,8 +125,9 @@ class StructDeviceModel:
             M_start=_clean(sm.M_start, dtype),
             I_start=_clean(sm.I_start, dtype),
             I0_start=_clean(sm.I0_start, dtype),
-            struct_to_art=jnp.asarray(s2a),
+            struct_to_art=jnp.asarray(sm.struct_to_art),
             log_end_struct=_clean(sm.log_end_struct, dtype),
+            log_T_struct_t=jnp.asarray(log_T_struct_t, dtype=dtype),
             Wd=jnp.asarray(Wd, dtype=dtype), Wu=jnp.asarray(Wu, dtype=dtype))
 
     def flat(self):
@@ -153,191 +159,113 @@ def _shift_decay_scan(W, b):
     return v
 
 
-def _shiftk_i(o, k):
-    """Right-shift an int origin array by k, filling with 0."""
-    pad = jnp.zeros(o.shape[:-1] + (k,), dtype=o.dtype)
-    return jnp.concatenate([pad, o[..., :-k]], axis=-1)
-
-
-def _shift_decay_scan_org(W, b, borg):
-    """Shift-decay tropical scan carrying the origin of each maximum."""
-    v, o = b, borg
-    P = b.shape[-1]
-    for r in range(W.shape[0]):
-        k = 1 << r
-        if k >= P:
-            break
-        sv = _shiftk(v, k) + W[r][None, :]
-        so = _shiftk_i(o, k)
-        better = sv > v
-        v = jnp.where(better, sv, v)
-        o = jnp.where(better, so, o)
-    return v, o
-
-
-def _argmax_terms(terms):
-    """max + origin over [(value, origin), ...]; first term wins ties."""
-    v, o = terms[0]
-    o = jnp.broadcast_to(o, v.shape).astype(jnp.int32)
-    for val, org in terms[1:]:
-        better = val > v
-        v = jnp.where(better, val, v)
-        o = jnp.where(better, jnp.broadcast_to(org, val.shape), o)
-    return v, o
-
-
 @functools.partial(jax.jit, static_argnames=("return_path",))
 def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
                          return_path: bool = True):
-    """Structured forward with provenance traceback.
-
-    The forward pass resolves, for every emitting slot in every column, the
-    emitting predecessor its maximum came from (delete chains and hub
-    routes resolve inline through origin-carrying scans).  The traceback is
-    then a single (B,)-gather per column over the stored origin planes —
-    no value planes, no dense matrix.
+    """Structured forward + dense-assisted traceback.
 
     Returns (logp (B,), end_state (B,), path (B, L) or None) with states
     indexed in the eliminated artifact's flat space.
     """
     m = StructDeviceModel(*model_arrays)
     B, L = seqs.shape
-    P = m.blk_idx.shape[0]
-    nb = m.i0_i.shape[0]
-    S = 2 * P + nb
     seqs = seqs.astype(jnp.int32)
 
     eM_x = jnp.transpose(jnp.take(m.eM, seqs.T, axis=1), (1, 2, 0))   # (L,B,P)
     eI_x = jnp.transpose(jnp.take(m.eI, seqs.T, axis=1), (1, 2, 0))
     eI0_x = jnp.transpose(jnp.take(m.eI0, seqs.T, axis=1), (1, 2, 0))  # (L,B,nb)
 
-    # constant origin rows (structured slot ids)
-    posM = jnp.arange(P, dtype=jnp.int32)
-    posI = P + posM
-    posI0 = 2 * P + jnp.arange(nb, dtype=jnp.int32)
-    posM_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), posM[:-1]])[None, :]
-    posI_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), posI[:-1]])[None, :]
-    posI0_by_pos = jnp.take(posI0, m.blk_idx)[None, :]                # (1,P)
-    sl = jnp.asarray(suffix_last, dtype=jnp.int32)
-
     def silent_layer(Mn, In, I0n):
-        """Delete chains + hubs with inline origin resolution."""
+        """D chains + hub values for one column of emitting values."""
         I0_by_pos = jnp.take(I0n, m.blk_idx, axis=1)
-        bb, bborg = _argmax_terms([
-            (_shift1(Mn) + m.md[None, :], posM_prev),
-            (_shift1(In) + m.idw[None, :], posI_prev),
-            (I0_by_pos + m.i0_d[None, :], posI0_by_pos)])
-        Dinner, Dorg_in = _shift_decay_scan_org(m.Wd, bb, bborg)
+        bb = jnp.maximum(
+            jnp.maximum(_shift1(Mn) + m.md[None, :],
+                        _shift1(In) + m.idw[None, :]),
+            I0_by_pos + m.i0_d[None, :])
+        Dinner = _shift_decay_scan(m.Wd, bb)
         ul = m.unit_last
-        q, qorg = _argmax_terms([
-            (jnp.take(Mn, ul, axis=1) + jnp.take(m.xm, ul)[None, :],
-             jnp.take(posM, ul)[None, :]),
-            (jnp.take(In, ul, axis=1) + jnp.take(m.xi, ul)[None, :],
-             jnp.take(posI, ul)[None, :]),
-            (jnp.take(Dinner, ul, axis=1) + jnp.take(m.xd, ul)[None, :],
-             jnp.take(Dorg_in, ul, axis=1))])
-        sufq, suforg = _argmax_terms([
-            (jnp.take(Mn, sl, axis=1)[:, None] + jnp.take(m.xm, sl),
-             jnp.take(posM, sl)),
-            (jnp.take(In, sl, axis=1)[:, None] + jnp.take(m.xi, sl),
-             jnp.take(posI, sl)),
-            (jnp.take(Dinner, sl, axis=1)[:, None] + jnp.take(m.xd, sl),
-             jnp.take(Dorg_in, sl, axis=1)[:, None])])
+        q = jnp.maximum(
+            jnp.maximum(jnp.take(Mn, ul, axis=1) + jnp.take(m.xm, ul)[None, :],
+                        jnp.take(In, ul, axis=1) + jnp.take(m.xi, ul)[None, :]),
+            jnp.take(Dinner, ul, axis=1) + jnp.take(m.xd, ul)[None, :])
+        sl = jnp.asarray(suffix_last, dtype=jnp.int32)
+        sufq = jnp.maximum(
+            jnp.maximum(jnp.take(Mn, sl, axis=1) + jnp.take(m.xm, sl),
+                        jnp.take(In, sl, axis=1) + jnp.take(m.xi, sl)),
+            jnp.take(Dinner, sl, axis=1) + jnp.take(m.xd, sl))
         # unit_start chain: us_c = max(s_c, us_{c-1} + r_unit + ln(1/2))
-        s = jnp.concatenate([sufq, q[:, :-1] + LN05], axis=1)
-        sorg = jnp.concatenate([suforg, qorg[:, :-1]], axis=1)
-        us, usorg = _shift_decay_scan_org(m.Wu, s, sorg)
-        ue, ueorg = _argmax_terms([(q, qorg), (us + m.r_unit, usorg)])
-        er = ue + LN05
-        c_best = jnp.argmax(er, axis=1)
-        pstart = jnp.take_along_axis(er, c_best[:, None], axis=1)
-        pstartorg = jnp.take_along_axis(ueorg, c_best[:, None], axis=1)
+        s = jnp.concatenate([sufq[:, None], q[:, :-1] + LN05], axis=1)
+        us = _shift_decay_scan(m.Wu, s)                               # (B,C)
+        ue = jnp.maximum(q, us + m.r_unit)
+        pstart = jnp.max(ue + LN05, axis=1)    # end_repeats -> prefix_start
         hub = jnp.concatenate(
-            [jnp.full((B, 1), NEG32), us, pstart], axis=1)
-        huborg = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), usorg, pstartorg], axis=1)
+            [jnp.full((B, 1), NEG32), us, pstart[:, None]], axis=1)
         hub_by_pos = jnp.take(hub, m.blk_idx, axis=1)
-        huborg_by_pos = jnp.take(huborg, m.blk_idx, axis=1)
-        hub_term = hub_by_pos + m.hub_d[None, :]
-        better = hub_term > Dinner
-        Dn = jnp.where(better, hub_term, Dinner)
-        Dorg = jnp.where(better, huborg_by_pos, Dorg_in)
-        return Dn, Dorg, hub, huborg
+        Dn = jnp.maximum(Dinner, hub_by_pos + m.hub_d[None, :])
+        return Dn, hub
 
-    def fin_of(Mn, In, I0n):
-        le = m.log_end_struct
-        return jnp.maximum(
-            jnp.max(Mn + le[None, :P], axis=1),
-            jnp.maximum(jnp.max(In + le[None, P:2 * P], axis=1),
-                        jnp.max(I0n + le[None, 2 * P:], axis=1)))
+    def struct_plane(M, I, I0):
+        return jnp.concatenate([M, I, I0], axis=1)
 
-    # ---- initial column ---------------------------------------------------
+    # ---- initial column ----------------------------------------------------
     M0 = m.M_start[None, :] + eM_x[0]
     Iv0 = m.I_start[None, :] + eI_x[0]
     I00 = m.I0_start[None, :] + eI0_x[0]
-    D0, Dorg0, hub0, huborg0 = silent_layer(M0, Iv0, I00)
-    finals0 = fin_of(M0, Iv0, I00)
+    D0, hub0 = silent_layer(M0, Iv0, I00)
+    finals0 = jnp.max(struct_plane(M0, Iv0, I00)
+                      + m.log_end_struct[None, :], axis=1)
 
     def step(carry, inputs):
-        M, I, I0, D, Dorg, hub, huborg, best = carry
+        M, I, I0, D, hub, best = carry
         eM_t, eI_t, eI0_t, t = inputs
         hub_by_pos = jnp.take(hub, m.blk_idx, axis=1)
-        huborg_by_pos = jnp.take(huborg, m.blk_idx, axis=1)
         I0_by_pos = jnp.take(I0, m.blk_idx, axis=1)
-        Mn_base, Morg = _argmax_terms([
-            (_shift1(M) + m.a_mm[None, :], posM_prev),
-            (_shift1(I) + m.a_im[None, :], posI_prev),
-            (_shift1(D) + m.a_dm[None, :], _shiftk_i(Dorg, 1)),
-            (hub_by_pos + m.ent_m[None, :], huborg_by_pos),
-            (I0_by_pos + m.i0_m[None, :], posI0_by_pos)])
-        Mn = eM_t + Mn_base
-        In_base, Iorg = _argmax_terms([
-            (M + m.mi[None, :], posM[None, :]),
-            (I + m.ii[None, :], posI[None, :]),
-            (D + m.di[None, :], Dorg)])
-        In = eI_t + In_base
-        I0n_base, I0org = _argmax_terms([
-            (I0 + m.i0_i[None, :], posI0[None, :]),
-            (hub + m.hub_i0[None, :], huborg)])
-        I0n = eI0_t + I0n_base
+        Mn = eM_t + jnp.maximum(
+            jnp.maximum(_shift1(M) + m.a_mm[None, :],
+                        _shift1(I) + m.a_im[None, :]),
+            jnp.maximum(_shift1(D) + m.a_dm[None, :],
+                        jnp.maximum(hub_by_pos + m.ent_m[None, :],
+                                    I0_by_pos + m.i0_m[None, :])))
+        In = eI_t + jnp.maximum(
+            jnp.maximum(M + m.mi[None, :], I + m.ii[None, :]),
+            D + m.di[None, :])
+        I0n = eI0_t + jnp.maximum(I0 + m.i0_i[None, :],
+                                  hub + m.hub_i0[None, :])
         act = (t < lengths)[:, None]
         Mn = jnp.where(act, Mn, M)
         In = jnp.where(act, In, I)
         I0n = jnp.where(act, I0n, I0)
-        Dn, Dorgn, hubn, huborgn = silent_layer(Mn, In, I0n)
+        Dn, hubn = silent_layer(Mn, In, I0n)
         Dn = jnp.where(act, Dn, D)
-        Dorgn = jnp.where(act, Dorgn, Dorg)
         hubn = jnp.where(act, hubn, hub)
-        huborgn = jnp.where(act, huborgn, huborg)
-        best = jnp.where(t == lengths - 1, fin_of(Mn, In, I0n), best)
-        org_plane = jnp.concatenate([Morg, Iorg, I0org],
-                                    axis=1).astype(jnp.int16)
-        return (Mn, In, I0n, Dn, Dorgn, hubn, huborgn, best), org_plane
+        fin = jnp.max(struct_plane(Mn, In, I0n)
+                      + m.log_end_struct[None, :], axis=1)
+        best = jnp.where(t == lengths - 1, fin, best)
+        prev_plane = struct_plane(M, I, I0)
+        return (Mn, In, I0n, Dn, hubn, best), prev_plane
 
     ts = jnp.arange(1, L, dtype=jnp.int32)
-    (Mf, If, I0f, _, _, _, _, best), org_planes = jax.lax.scan(
-        step, (M0, Iv0, I00, D0, Dorg0, hub0, huborg0, finals0),
+    (Mf, If, I0f, _, _, best), v_planes = jax.lax.scan(
+        step, (M0, Iv0, I00, D0, hub0, finals0),
         (eM_x[1:], eI_x[1:], eI0_x[1:], ts))
-    # org_planes[k] = predecessor slots for column k+1 (k = 0..L-2)
 
     if not return_path:
         return best, None, None
 
-    le = m.log_end_struct
-    final_plane = jnp.concatenate([Mf, If, I0f], axis=1)
-    end_state_s = jnp.argmax(final_plane + le[None, :],
+    final_plane = struct_plane(Mf, If, I0f)
+    end_state_s = jnp.argmax(final_plane + m.log_end_struct[None, :],
                              axis=1).astype(jnp.int32)
 
     def back_step(cur, inputs):
-        org_t, t = inputs
-        prev = jnp.take_along_axis(
-            org_t, cur[:, None], axis=1)[:, 0].astype(jnp.int32)
+        v_prev, t = inputs
+        prev = jnp.argmax(v_prev + jnp.take(m.log_T_struct_t, cur, axis=0),
+                          axis=1).astype(jnp.int32)
         new_cur = jnp.where(t <= lengths - 1, prev, cur)
         return new_cur, cur
 
     ts_rev = jnp.arange(L - 1, 0, -1, dtype=jnp.int32)
     cur_last, emitted = jax.lax.scan(back_step, end_state_s,
-                                     (org_planes[::-1], ts_rev))
+                                     (v_planes[::-1], ts_rev))
     path_s = jnp.concatenate([cur_last[:, None], emitted[::-1].T], axis=1)
     path_s = jnp.where((lengths == 1)[:, None],
                        jnp.broadcast_to(end_state_s[:, None], path_s.shape),

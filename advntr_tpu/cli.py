@@ -103,7 +103,10 @@ def genotype(args) -> None:
 
     if args.alignment_file is None and args.fasta is None:
         _err("No input specified. Please specify alignment file or fasta file")
+    import dataclasses as _dc
     config = Config().with_platform(args.pacbio, args.nanopore)
+    if args.threads and args.threads > 0:
+        config = _dc.replace(config, io_threads=args.threads)
     if args.expansion and args.coverage is None:
         _err("Please specify the average coverage to identify the expansion")
     average_coverage = args.coverage if args.expansion else None

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
 
 # state kinds
 K_MATCH, K_INSERT, K_DELETE, K_OTHER = 0, 1, 2, 3

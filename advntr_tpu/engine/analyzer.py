@@ -324,6 +324,8 @@ class GenomeAnalyzer:
                         fh.write(json.dumps(
                             self._checkpoint_record(vid, result, err)) + "\n")
 
+        from advntr_tpu.utils.profiler import stage_summary
+        logging.info(stage_summary())
         self._emit_header()
         for vid in self.target_vntr_ids:
             if vid in results:

@@ -23,6 +23,7 @@ from advntr_tpu.engine.genotype import find_genotype, identify_frameshift
 from advntr_tpu.models.compiler import compile_graph, expand_path
 from advntr_tpu.models.graph import build_read_matcher
 from advntr_tpu.models.profile import profile_for_repeats
+from advntr_tpu.utils.profiler import time_usage
 
 
 @dataclasses.dataclass
@@ -431,6 +432,7 @@ class VNTRFinder:
                                   return_path=return_paths)
         return {k: np.asarray(v) for k, v in stats.items()}
 
+    @time_usage
     def score_reads(self, mapped_reads, unmapped_reads, read_length: int,
                     model=None, length_bucket: int = 32,
                     return_paths: bool = False):
@@ -544,6 +546,7 @@ class VNTRFinder:
                                             read_length, model=updated)
         return new_selected
 
+    @time_usage
     def find_repeat_count(self, mapped_reads, unmapped_reads,
                           read_length: int | None = None,
                           accuracy_filter: bool = False,

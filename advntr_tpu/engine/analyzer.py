@@ -394,7 +394,8 @@ class GenomeAnalyzer:
                 chunk = vids[chunk_start:chunk_start + group_size]
                 try:
                     self._run_group(chunk, prepped, read_length, results,
-                                    accuracy_filter, average_coverage)
+                                    accuracy_filter, average_coverage,
+                                    group_size=group_size)
                 except Exception as error:
                     logging.error("Grouped scoring failed (%s); falling back "
                                   "per locus: %s", chunk, error)
@@ -417,17 +418,24 @@ class GenomeAnalyzer:
         return results
 
     def _run_group(self, chunk, prepped, read_length, results,
-                   accuracy_filter, average_coverage):
+                   accuracy_filter, average_coverage, group_size: int = 8):
         import numpy as np
         import jax.numpy as jnp
         from advntr_tpu.engine import device_analytics as da
 
+        # shape discipline: one executable per (group_size, B, L) bucket —
+        # short chunks repeat their last locus (results discarded) and the
+        # batch axis floors at 512 rows
+        pad_chunk = chunk + [chunk[-1]] * (group_size - len(chunk))
         max_len = max(max(len(r) for r in prepped[vid][3]) for vid in chunk)
         L_pad = ((max_len + 31) // 32) * 32
         max_rows = max(len(prepped[vid][3]) for vid in chunk)
-        B_pad = 1 << (max_rows - 1).bit_length()
+        # large panels floor the batch bucket to bound executable count;
+        # small runs keep natural sizes (cheap compiles, fast tests)
+        b_floor = 512 if len(self.target_vntr_ids) > 16 else 8
+        B_pad = max(b_floor, 1 << (max_rows - 1).bit_length())
         batches, lens = [], []
-        for vid in chunk:
+        for vid in pad_chunk:
             finder, lm, reads, rows, row_info = prepped[vid]
             b, ln = finder.pad_rows(rows, length_bucket=1, pad_to=L_pad,
                                     b_pad=B_pad)
@@ -436,12 +444,13 @@ class GenomeAnalyzer:
         seqs = np.stack(batches)
         lengths = np.stack(lens)
         suffix_lasts = np.array(
-            [prepped[vid][1].suffix_last for vid in chunk], dtype=np.int32)
+            [prepped[vid][1].suffix_last for vid in pad_chunk],
+            dtype=np.int32)
         stacked_struct = tuple(
-            jnp.stack([prepped[vid][1].struct.flat()[i] for vid in chunk])
+            jnp.stack([prepped[vid][1].struct.flat()[i] for vid in pad_chunk])
             for i in range(len(prepped[chunk[0]][1].struct.flat())))
         stacked_meta = tuple(
-            jnp.stack([prepped[vid][1].meta[i] for vid in chunk])
+            jnp.stack([prepped[vid][1].meta[i] for vid in pad_chunk])
             for i in range(len(prepped[chunk[0]][1].meta)))
         stats = da.read_stats_struct_grouped(
             stacked_struct, stacked_meta, jnp.asarray(seqs),

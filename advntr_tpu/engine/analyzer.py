@@ -460,10 +460,11 @@ class GenomeAnalyzer:
             finder, lm, reads, rows, row_info = prepped[vid]
             try:
                 per = {k: v[g] for k, v in stats.items()}
-                scored = finder.collect_scored(reads, row_info, per)
-                selected = finder.select_from_scored(scored, read_length)
-                results[vid] = (finder.genotype_from_selected(
-                    selected, accuracy_filter, average_coverage), False)
+                covered, flanking, n_sel, _ = finder.counts_from_stats(
+                    reads, row_info, per, read_length, accuracy_filter)
+                results[vid] = (finder.genotype_from_counts(
+                    covered, flanking, n_sel, accuracy_filter,
+                    average_coverage), False)
             except Exception as error:
                 logging.error("Error genotyping VNTR %s: %s.", vid, error)
                 results[vid] = (GenotypeResult(None, 0, 0, 0, 0), True)

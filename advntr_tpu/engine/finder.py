@@ -420,6 +420,98 @@ class VNTRFinder:
             ))
         return scored
 
+    def counts_from_stats(self, reads, row_info, stats,
+                          read_length: int, accuracy_filter: bool = False):
+        """Vectorized recruit gates + RU-count extraction (numpy, no
+        per-read Python objects) — the grouped panel path's fast lane.
+        Produces exactly what genotype_from_counts consumes; equivalence
+        with the ScoredRead path is covered by tests."""
+        R = len(row_info)
+        if R == 0:
+            return [], [], 0, 0
+        read_idx = np.fromiter((ri for ri, _ in row_info), dtype=np.int64,
+                               count=R)
+        logp = np.asarray(stats["logp"][:R], dtype=np.float64)
+        n_reads = len(reads)
+        # best orientation per read (first row wins ties, matching the
+        # sequential strict-> comparison in collect_scored)
+        best_val = np.full(n_reads, -np.inf)
+        np.maximum.at(best_val, read_idx, logp)
+        is_best = logp == best_val[read_idx]
+        rows_rev = np.arange(R)[is_best][::-1]
+        first_best = np.full(n_reads, -1, dtype=np.int64)
+        first_best[read_idx[is_best][::-1]] = rows_rev
+        sel = first_best[first_best >= 0]
+        if sel.size == 0:
+            return [], [], 0, 0
+
+        rates = da.flank_rates(stats)[sel]
+        seq_lens = np.fromiter(
+            (len(reads[i][1]) for i in np.nonzero(first_best >= 0)[0]),
+            dtype=np.int64, count=sel.size)
+        lp = logp[sel]
+        n_matches = np.asarray(stats["n_matches"])[sel]
+        repeat_bp = np.asarray(stats["repeat_bp"])[sel]
+        left_bp = np.asarray(stats["left_flank_bp"])[sel]
+        right_bp = np.asarray(stats["right_flank_bp"])[sel]
+        repeats = np.asarray(stats["repeats"])[sel]
+
+        min_score = self.recruitment_score_threshold(read_length)
+        finite = np.isfinite(lp)
+        gate_rate = rates >= 0.90
+        if min_score is not None:
+            recruited = gate_rate & (lp > min_score)
+        else:
+            recruited = gate_rate & (n_matches >= 0.9 * seq_lens) & \
+                (lp > -seq_lens)
+        selected = finite & recruited & \
+            (repeat_bp > self.min_repeat_bp_to_add_read)
+
+        spanning = selected & (rates >= 0.95) & \
+            (left_bp > self.minimum_left_flanking_size) & \
+            (right_bp > self.minimum_right_flanking_size)
+        covered_repeats = repeats[spanning].tolist()
+        if accuracy_filter:
+            # the reference does not collect flanking reads in this mode
+            # (vntr_finder.py:838-845)
+            flanking_repeats = []
+        else:
+            flanking_repeats = repeats[selected & ~spanning].tolist()
+        return (covered_repeats, flanking_repeats, int(selected.sum()),
+                int(repeat_bp[selected].sum()))
+
+    def genotype_from_counts(self, covered_repeats, flanking_repeats,
+                             n_selected: int,
+                             accuracy_filter: bool = False,
+                             average_coverage=None) -> GenotypeResult:
+        """Count-combination + ML genotype (shared tail of
+        genotype_from_selected, reference vntr_finder.py:848-887)."""
+        flanking_repeats = sorted(flanking_repeats)
+        min_valid_flanked = max(covered_repeats) if covered_repeats else 0
+        max_flanking_repeat = [r for r in flanking_repeats
+                               if r == max(flanking_repeats)
+                               and r >= min_valid_flanked] \
+            if flanking_repeats else []
+        if len(max_flanking_repeat) < 5:
+            max_flanking_repeat = []
+        if accuracy_filter:
+            covered_repeats = _filter_by_support(
+                covered_repeats, self.config.accuracy_filter_sr_min_support)
+            max_flanking_repeat = []
+        genotype, max_prob = find_genotype(
+            covered_repeats + max_flanking_repeat, self.is_haploid,
+            self.config.genotype_error_rate)
+        if average_coverage:
+            pattern_occurrences = sum(flanking_repeats) + sum(covered_repeats)
+            haplotypes = 1 if self.is_haploid else 2
+            estimate = int(pattern_occurrences /
+                           (float(average_coverage) * haplotypes))
+            return GenotypeResult([estimate, estimate], n_selected,
+                                  len(covered_repeats),
+                                  len(flanking_repeats), 0)
+        return GenotypeResult(genotype, n_selected, len(covered_repeats),
+                              len(flanking_repeats), max_prob)
+
     def run_device(self, lm, batch, lengths, return_paths: bool = False):
         if lm.struct is not None:
             stats = da.read_stats_struct(

@@ -389,36 +389,52 @@ class GenomeAnalyzer:
                 logging.error("Error preparing VNTR %s: %s.", vid, error)
                 results[vid] = error_result
 
+        # async pipeline: queue every chunk's device work first (JAX
+        # dispatch is asynchronous, so tunnel/dispatch latency and the host
+        # post-processing of earlier chunks overlap device compute), then
+        # collect.  Stats per chunk are O(G·B) scalars — negligible memory.
+        inflight = []
         for key, vids in groups.items():
             for chunk_start in range(0, len(vids), group_size):
                 chunk = vids[chunk_start:chunk_start + group_size]
                 try:
-                    self._run_group(chunk, prepped, read_length, results,
-                                    accuracy_filter, average_coverage,
-                                    group_size=group_size)
+                    stats = self._dispatch_group(chunk, prepped,
+                                                 group_size=group_size)
+                    inflight.append((chunk, stats))
                 except Exception as error:
-                    logging.error("Grouped scoring failed (%s); falling back "
-                                  "per locus: %s", chunk, error)
-                    for vid in chunk:
-                        finder, lm, reads, rows, row_info = prepped[vid]
-                        try:
-                            batch, lengths = finder.pad_rows(rows)
-                            stats = finder.run_device(lm, batch, lengths)
-                            scored = finder.collect_scored(reads, row_info,
-                                                           stats)
-                            selected = finder.select_from_scored(scored,
-                                                                 read_length)
-                            results[vid] = (finder.genotype_from_selected(
-                                selected, accuracy_filter, average_coverage),
-                                False)
-                        except Exception as err2:
-                            logging.error("Error genotyping VNTR %s: %s.",
-                                          vid, err2)
-                            results[vid] = error_result
+                    logging.error("Grouped dispatch failed (%s); falling "
+                                  "back per locus: %s", chunk, error)
+                    inflight.append((chunk, None))
+        for chunk, stats in inflight:
+            if stats is not None:
+                try:
+                    self._collect_group(chunk, prepped, stats, read_length,
+                                        results, accuracy_filter,
+                                        average_coverage)
+                    continue
+                except Exception as error:
+                    logging.error("Grouped collect failed (%s); falling "
+                                  "back per locus: %s", chunk, error)
+            for vid in chunk:
+                finder, lm, reads, rows, row_info = prepped[vid]
+                try:
+                    batch, lengths = finder.pad_rows(rows)
+                    per = finder.run_device(lm, batch, lengths)
+                    scored = finder.collect_scored(reads, row_info, per)
+                    selected = finder.select_from_scored(scored,
+                                                         read_length)
+                    results[vid] = (finder.genotype_from_selected(
+                        selected, accuracy_filter, average_coverage),
+                        False)
+                except Exception as err2:
+                    logging.error("Error genotyping VNTR %s: %s.",
+                                  vid, err2)
+                    results[vid] = error_result
         return results
 
-    def _run_group(self, chunk, prepped, read_length, results,
-                   accuracy_filter, average_coverage, group_size: int = 8):
+    def _dispatch_group(self, chunk, prepped, group_size: int = 8):
+        """Build the grouped batch + model stacks and queue the device call;
+        returns the (not yet materialized) device stats dict."""
         import numpy as np
         import jax.numpy as jnp
         from advntr_tpu.engine import device_analytics as da
@@ -452,9 +468,13 @@ class GenomeAnalyzer:
         stacked_meta = tuple(
             jnp.stack([prepped[vid][1].meta[i] for vid in pad_chunk])
             for i in range(len(prepped[chunk[0]][1].meta)))
-        stats = da.read_stats_struct_grouped(
+        return da.read_stats_struct_grouped(
             stacked_struct, stacked_meta, jnp.asarray(seqs),
             jnp.asarray(lengths), jnp.asarray(suffix_lasts))
+
+    def _collect_group(self, chunk, prepped, stats, read_length, results,
+                       accuracy_filter, average_coverage):
+        import numpy as np
         stats = {k: np.asarray(v) for k, v in stats.items()}
         for g, vid in enumerate(chunk):
             finder, lm, reads, rows, row_info = prepped[vid]

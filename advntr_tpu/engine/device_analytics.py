@@ -205,6 +205,18 @@ def read_stats_struct(struct_arrays, meta_arrays, seqs, lengths,
                                return_path=return_path)
 
 
+@functools.partial(jax.jit, static_argnames=("return_path", "interpret"))
+def read_stats_pallas(pallas_arrays, meta_arrays, seqs, lengths,
+                      return_path: bool = False, interpret: bool = False):
+    """Fused Viterbi + analytics via the Pallas provenance kernel."""
+    from advntr_tpu.ops.pallas_viterbi import viterbi_pallas_batch
+    logp, _, path = viterbi_pallas_batch(pallas_arrays, seqs, lengths,
+                                         return_path=True,
+                                         interpret=interpret)
+    return analytics_from_path(meta_arrays, logp, path, seqs, lengths,
+                               return_path=return_path)
+
+
 def flank_rates(stats: dict, accuracy_filter: bool = False) -> np.ndarray:
     """min(left, right) flank matching rate per read (host, from counts).
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -63,6 +64,13 @@ class LocusModel:
     struct: object | None          # padded StructDeviceModel
     suffix_last: int
     dense: object | None = None    # DeviceModel fallback (built lazily)
+    pallas: object | None = None   # PallasStructModel (fused device kernel)
+
+
+# device kernel selection for single-locus scoring: the Pallas provenance
+# kernel ("pallas") or the XLA structured kernel ("struct", conformance
+# reference).  Overridable per process.
+KERNEL = os.environ.get("ADVNTR_TPU_KERNEL", "struct")
 
 
 def build_locus_payload(ref_vntr, copies: int, flank_size: int,
@@ -195,12 +203,17 @@ class LocusModelCache:
             sm = pad_structured(sm, art, P_pad, C_pad)
             struct = StructDeviceModel.from_struct(sm, art)
             suffix_last = sm.suffix_last
+        pallas = None
+        if struct is not None and KERNEL == "pallas":
+            from advntr_tpu.ops.pallas_viterbi import PallasStructModel
+            pallas = PallasStructModel.from_struct(sm, art)
         dense = None
         if struct is None:
             n_pad = _round_up(art.n_states, self.state_bucket)
             dense = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
         return LocusModel(art=art, meta=meta, struct=struct,
-                          suffix_last=suffix_last, dense=dense)
+                          suffix_last=suffix_last, dense=dense,
+                          pallas=pallas)
 
 
 def _pad_artifact(art, n_pad: int):
@@ -513,7 +526,11 @@ class VNTRFinder:
                               len(flanking_repeats), max_prob)
 
     def run_device(self, lm, batch, lengths, return_paths: bool = False):
-        if lm.struct is not None:
+        if lm.pallas is not None:
+            stats = da.read_stats_pallas(
+                lm.pallas.flat(), lm.meta, jnp.asarray(batch),
+                jnp.asarray(lengths), return_path=return_paths)
+        elif lm.struct is not None:
             stats = da.read_stats_struct(
                 lm.struct.flat(), lm.meta, jnp.asarray(batch),
                 jnp.asarray(lengths), lm.suffix_last,

@@ -1,0 +1,147 @@
+"""Pallas fused kernel (interpret mode) vs the structured kernel and the
+float64 full-graph oracle: scores, path optimality, and analytics parity.
+
+The provenance traceback may pick a different optimal path on exact float
+ties, so the contract is: identical logp, path rescores (in f64) to the
+optimal value, and identical genotyping analytics (RU counts are
+tie-invariant — deletion always costs probability)."""
+
+import random
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from advntr_tpu import dna
+from advntr_tpu.engine.device_analytics import analytics_from_path
+from advntr_tpu.models.compiler import compile_graph
+from advntr_tpu.models.graph import build_read_matcher
+from advntr_tpu.models.profile import profile_for_repeats
+from advntr_tpu.models.struct_compiler import build_structured, pad_structured
+from advntr_tpu.ops.pallas_viterbi import (
+    PallasStructModel, viterbi_pallas_batch)
+from advntr_tpu.ops.viterbi_struct import (
+    StructDeviceModel, viterbi_struct_batch)
+
+
+def make(pattern_units, left, right, copies, err=0.05):
+    trans, emis = profile_for_repeats(pattern_units, err)
+    g = build_read_matcher(left, right, trans, emis, copies, err)
+    art = compile_graph(g)
+    sm = build_structured(g, art)
+    sm = pad_structured(sm, art, ((sm.P + 63) // 64) * 64,
+                        ((sm.C + 7) // 8) * 8)
+    dev = StructDeviceModel.from_struct(sm, art)
+    pm = PallasStructModel.from_struct(sm, art)
+    return art, sm, dev, pm
+
+
+def rescore(art, path, codes):
+    s = float(art.log_start[path[0]] + art.log_E[path[0], codes[0]])
+    for t in range(1, len(codes)):
+        s += art.log_T[path[t - 1], path[t]] + art.log_E[path[t], codes[t]]
+    return s + float(art.log_end[path[-1]])
+
+
+def run_both(art, sm, dev, pm, reads):
+    rows = [dna.encode(r) for r in reads]
+    batch, lengths = dna.pad_batch(rows, multiple=8)
+    batch, lengths = jnp.asarray(batch), jnp.asarray(lengths)
+    l1, _, p1 = viterbi_struct_batch(dev.flat(), batch, lengths,
+                                     suffix_last=sm.suffix_last)
+    l2, _, p2 = viterbi_pallas_batch(pm.flat(), batch, lengths,
+                                     interpret=True)
+    meta = (jnp.asarray(art.kind), jnp.asarray(art.region),
+            jnp.asarray(art.exp_base), jnp.asarray(art.unit))
+    a1 = analytics_from_path(meta, l1, p1, batch, lengths)
+    a2 = analytics_from_path(meta, l2, p2, batch, lengths)
+    return rows, map(np.asarray, (l1, l2, p1, p2)), a1, a2
+
+
+CASES = [
+    (["CAGCAG", "CAGCAG", "CAACAG"], "ACGTTGCA", "TTACGGAT", 3),
+    (["CGCGGGGCGGGG"] * 3, "ACGTACTGACGATCGATT", "TTACGGATGCAGTACGTA", 5),
+]
+
+READS = [
+    "ACGTTGCACAGCAGCAGCAGCAACAGTTACGGAT",
+    "TTGCACAGCAGCAGCAGTTACG",
+    "CAGCAGCAGCAGCAACAG",
+    "ACGTTGCACAGCTGCAGCAGTTACGGAT",
+    "ACGTTGCACAGAGCAGCAGTTACGGAT",
+    "ACGTTGCACAGGCAGCAGCAGTTACGGAT",
+    "ACGTACTGACGATCGATTCGCGGGGCGGGGCGCGGGGCGGGGTTACGGATGCAGTACGTA",
+    "GGGGCGGGGCGCGGGGCG",
+    "ACGT",
+    "TTTTTTTTTTTTTTTTTT",
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_pallas_matches_struct(case):
+    art, sm, dev, pm = make(*case)
+    rows, (l1, l2, p1, p2), a1, a2 = run_both(art, sm, dev, pm, READS)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-2)
+    for b, codes in enumerate(rows):
+        if not np.isfinite(l1[b]) or l1[b] < -1e20:
+            continue
+        s = rescore(art, p2[b][: len(codes)], codes)
+        assert s == pytest.approx(float(l1[b]), rel=1e-4, abs=1e-2), READS[b]
+    for k in ("repeats", "n_matches", "repeat_bp", "left_flank_bp",
+              "right_flank_bp", "left_flank_matches",
+              "right_flank_matches"):
+        keep = l1 > -1e20
+        np.testing.assert_array_equal(np.asarray(a1[k])[keep],
+                                      np.asarray(a2[k])[keep], err_msg=k)
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def test_pallas_random_soak():
+    rng = random.Random(20240817)
+    for trial in range(4):
+        err = rng.choice([0.05, 0.3])
+        plen = rng.choice([5, 11])
+        pattern = _rand_seq(rng, plen)
+        units = []
+        for _ in range(3):
+            u = list(pattern)
+            if rng.random() < 0.5:
+                u[rng.randrange(plen)] = rng.choice("ACGT")
+            units.append("".join(u))
+        left = _rand_seq(rng, rng.choice([12, 20]))
+        right = _rand_seq(rng, rng.choice([12, 20]))
+        copies = rng.choice([3, 5])
+        art, sm, dev, pm = make(units, left, right, copies, err)
+        reads = []
+        for _ in range(12):
+            hap = left + pattern * rng.randint(1, copies + 2) + right
+            kind = rng.random()
+            if kind < 0.5:
+                a = rng.randint(0, max(0, len(hap) - 15))
+                b = rng.randint(a + 10, len(hap))
+                read = hap[a:b]
+            elif kind < 0.7:
+                read = _rand_seq(rng, rng.randint(10, 60))
+            else:
+                read = hap
+            chars = list(read)
+            for _ in range(rng.randint(0, 3)):
+                pos = rng.randrange(len(chars))
+                chars[pos] = rng.choice("ACGT")
+            reads.append("".join(chars))
+        rows, (l1, l2, p1, p2), a1, a2 = run_both(art, sm, dev, pm, reads)
+        np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-2)
+        for b, codes in enumerate(rows):
+            if not np.isfinite(l1[b]) or l1[b] < -1e20:
+                continue
+            s = rescore(art, p2[b][: len(codes)], codes)
+            assert s == pytest.approx(float(l1[b]), rel=1e-4, abs=1e-2), \
+                (trial, reads[b])
+        keep = l1 > -1e20
+        for k in ("repeats", "repeat_bp", "left_flank_bp", "right_flank_bp"):
+            np.testing.assert_array_equal(np.asarray(a1[k])[keep],
+                                          np.asarray(a2[k])[keep],
+                                          err_msg=f"{trial}:{k}")

@@ -459,15 +459,25 @@ class GenomeAnalyzer:
             lens.append(ln)
         seqs = np.stack(batches)
         lengths = np.stack(lens)
+        stacked_meta = tuple(
+            jnp.stack([prepped[vid][1].meta[i] for vid in pad_chunk])
+            for i in range(len(prepped[chunk[0]][1].meta)))
+        if all(prepped[vid][1].pallas is not None for vid in pad_chunk):
+            import jax
+            stacked_pallas = tuple(
+                jnp.stack([prepped[vid][1].pallas.flat()[i]
+                           for vid in pad_chunk])
+                for i in range(len(prepped[chunk[0]][1].pallas.flat())))
+            return da.read_stats_pallas_grouped(
+                stacked_pallas, stacked_meta, jnp.asarray(seqs),
+                jnp.asarray(lengths),
+                interpret=jax.default_backend() == "cpu")
         suffix_lasts = np.array(
             [prepped[vid][1].suffix_last for vid in pad_chunk],
             dtype=np.int32)
         stacked_struct = tuple(
             jnp.stack([prepped[vid][1].struct.flat()[i] for vid in pad_chunk])
             for i in range(len(prepped[chunk[0]][1].struct.flat())))
-        stacked_meta = tuple(
-            jnp.stack([prepped[vid][1].meta[i] for vid in pad_chunk])
-            for i in range(len(prepped[chunk[0]][1].meta)))
         return da.read_stats_struct_grouped(
             stacked_struct, stacked_meta, jnp.asarray(seqs),
             jnp.asarray(lengths), jnp.asarray(suffix_lasts))

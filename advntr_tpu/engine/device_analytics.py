@@ -254,3 +254,27 @@ def read_stats_struct_grouped(stacked_struct, stacked_meta, seqs, lengths,
 
     return jax.vmap(one)(stacked_struct, stacked_meta, seqs, lengths,
                          suffix_lasts)
+
+
+@functools.partial(jax.jit, static_argnames=("return_path", "interpret"))
+def read_stats_pallas_grouped(stacked_pallas, stacked_meta, seqs, lengths,
+                              return_path: bool = False,
+                              interpret: bool = False):
+    """Grouped fused scoring via the Pallas provenance kernel: an unrolled
+    loop over the G loci (one executable; same kernel shapes per locus).
+
+    stacked_pallas / stacked_meta: per-field stacks with a leading locus
+    axis; seqs (G, B, L); lengths (G, B).  Returns dict of (G, B) arrays."""
+    from advntr_tpu.ops.pallas_viterbi import viterbi_pallas_batch
+    G = seqs.shape[0]
+    outs = []
+    for g in range(G):
+        pallas_g = tuple(x[g] for x in stacked_pallas)
+        meta_g = tuple(x[g] for x in stacked_meta)
+        logp, _, path = viterbi_pallas_batch(pallas_g, seqs[g], lengths[g],
+                                             return_path=True,
+                                             interpret=interpret)
+        outs.append(analytics_from_path(meta_g, logp, path, seqs[g],
+                                        lengths[g],
+                                        return_path=return_path))
+    return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}

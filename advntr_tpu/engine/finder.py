@@ -67,10 +67,19 @@ class LocusModel:
     pallas: object | None = None   # PallasStructModel (fused device kernel)
 
 
-# device kernel selection for single-locus scoring: the Pallas provenance
-# kernel ("pallas") or the XLA structured kernel ("struct", conformance
-# reference).  Overridable per process.
-KERNEL = os.environ.get("ADVNTR_TPU_KERNEL", "struct")
+def _default_kernel() -> str:
+    """Device kernel for scoring: the Pallas provenance kernel ("pallas",
+    production default on TPU) or the XLA structured kernel ("struct",
+    conformance reference and CPU default).  Override: ADVNTR_TPU_KERNEL."""
+    env = os.environ.get("ADVNTR_TPU_KERNEL")
+    if env:
+        return env
+    try:
+        import jax
+        return "pallas" if jax.default_backend() not in ("cpu",) \
+            else "struct"
+    except Exception:
+        return "struct"
 
 
 def build_locus_payload(ref_vntr, copies: int, flank_size: int,
@@ -204,7 +213,7 @@ class LocusModelCache:
             struct = StructDeviceModel.from_struct(sm, art)
             suffix_last = sm.suffix_last
         pallas = None
-        if struct is not None and KERNEL == "pallas":
+        if struct is not None and _default_kernel() == "pallas":
             from advntr_tpu.ops.pallas_viterbi import PallasStructModel
             pallas = PallasStructModel.from_struct(sm, art)
         dense = None
@@ -527,9 +536,11 @@ class VNTRFinder:
 
     def run_device(self, lm, batch, lengths, return_paths: bool = False):
         if lm.pallas is not None:
+            import jax
             stats = da.read_stats_pallas(
                 lm.pallas.flat(), lm.meta, jnp.asarray(batch),
-                jnp.asarray(lengths), return_path=return_paths)
+                jnp.asarray(lengths), return_path=return_paths,
+                interpret=jax.default_backend() == "cpu")
         elif lm.struct is not None:
             stats = da.read_stats_struct(
                 lm.struct.flat(), lm.meta, jnp.asarray(batch),

@@ -501,9 +501,17 @@ def pallas_backward(lengths, bstate, oM, oI, oI0, interpret: bool = False):
     return path_rev.T                              # (B, L)
 
 
-# per-kernel-instance batch: VMEM live-range pressure bounds it (the raised
-# vmem limit admits 512 at P=512); tunable for experiments
-CHUNK_B = int(os.environ.get("ADVNTR_TPU_CHUNK_B", "256"))
+# per-kernel-instance batch cap: VMEM live-range pressure bounds it (the
+# raised vmem limit admits 512 at P=512; measured fastest fused); tunable
+CHUNK_B = int(os.environ.get("ADVNTR_TPU_CHUNK_B", "512"))
+
+
+def _chunk_for(P: int) -> int:
+    """Scale the per-instance batch down with P so kernel temporaries
+    (~30 live (B, P) f32 arrays) stay inside the VMEM budget."""
+    budget = CHUNK_B * 512
+    c = 1 << max(3, (budget // max(P, 1)).bit_length() - 1)
+    return min(CHUNK_B, c)
 
 
 def _forward_and_traceback(pm, seqs, lengths, return_path: bool,
@@ -531,13 +539,14 @@ def viterbi_pallas_batch(model_arrays, seqs, lengths,
     viterbi_struct_batch (artifact-space path indices)."""
     pm = PallasStructModel(*model_arrays)
     B, L = seqs.shape
-    if B <= CHUNK_B:
+    chunk_b = _chunk_for(pm.PM.shape[1])
+    if B <= chunk_b:
         return _forward_and_traceback(pm, seqs, lengths, return_path,
                                       interpret=interpret)
-    assert B % CHUNK_B == 0, (B, CHUNK_B)
-    n_chunks = B // CHUNK_B
-    seqs_c = seqs.reshape(n_chunks, CHUNK_B, L)
-    lengths_c = lengths.reshape(n_chunks, CHUNK_B)
+    assert B % chunk_b == 0, (B, chunk_b)
+    n_chunks = B // chunk_b
+    seqs_c = seqs.reshape(n_chunks, chunk_b, L)
+    lengths_c = lengths.reshape(n_chunks, chunk_b)
     out = jax.vmap(lambda q, ln: _forward_and_traceback(
         pm, q, ln, return_path, interpret=interpret))(seqs_c, lengths_c)
     if not return_path:

@@ -70,9 +70,14 @@ def main():
     batch_d = jnp.asarray(batch)
     lengths_d = jnp.asarray(lengths)
 
-    def run():
-        return da.read_stats_struct(lm.struct.flat(), lm.meta, batch_d,
-                                    lengths_d, lm.suffix_last)
+    if lm.pallas is not None:   # production kernel on TPU backends
+        def run():
+            return da.read_stats_pallas(lm.pallas.flat(), lm.meta, batch_d,
+                                        lengths_d)
+    else:
+        def run():
+            return da.read_stats_struct(lm.struct.flat(), lm.meta, batch_d,
+                                        lengths_d, lm.suffix_last)
 
     # warmup/compile; a host transfer is the sync point (on the axon tunnel
     # block_until_ready alone does not actually wait)

@@ -99,6 +99,42 @@ def _rand_seq(rng, n):
     return "".join(rng.choice("ACGT") for _ in range(n))
 
 
+def test_engine_pallas_kernel_matches_struct(monkeypatch):
+    """The engine's pallas path (ADVNTR_TPU_KERNEL=pallas, interpret on CPU)
+    must produce the same scored stats as the struct path."""
+    from advntr_tpu.config import Config
+    from advntr_tpu.engine.finder import VNTRFinder, LocusModelCache
+    from advntr_tpu.engine.simulate import simulate_diploid_reads
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    rng = random.Random(7)
+    pattern = "CCGTAGATCGGA"
+    ref = ReferenceVNTR(5, pattern, 1000, "chr1")
+    ref.repeat_segments = [pattern] * 3
+    ref.left_flanking_region = _rand_seq(rng, 200)
+    ref.right_flanking_region = _rand_seq(rng, 200)
+    reads, _, _ = simulate_diploid_reads(
+        ref.left_flanking_region, pattern, 2, 4, ref.right_flanking_region,
+        read_length=60, coverage=4, error_rate=0.01, seed=3)
+
+    def run(kernel):
+        monkeypatch.setenv("ADVNTR_TPU_KERNEL", kernel)
+        finder = VNTRFinder(ref, Config(), model_cache=LocusModelCache())
+        lm = finder.get_model(60)
+        assert (lm.pallas is not None) == (kernel == "pallas")
+        _, rows, row_info = finder.prepare_rows([], reads)
+        batch, lengths = finder.pad_rows(rows)
+        return finder.run_device(lm, batch, lengths)
+
+    s1 = run("struct")
+    s2 = run("pallas")
+    np.testing.assert_allclose(s1["logp"], s2["logp"], rtol=1e-4, atol=1e-2)
+    for k in ("repeats", "repeat_bp", "left_flank_bp", "right_flank_bp"):
+        keep = s1["logp"] > -1e20
+        np.testing.assert_array_equal(np.asarray(s1[k])[keep],
+                                      np.asarray(s2[k])[keep], err_msg=k)
+
+
 def test_pallas_random_soak():
     rng = random.Random(20240817)
     for trial in range(4):

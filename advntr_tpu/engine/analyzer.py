@@ -372,17 +372,24 @@ class GenomeAnalyzer:
                 lm = finder.get_model(read_length)
                 reads, rows, row_info = finder.prepare_rows(
                     mapped, unmapped_by_vid[vid])
-                if not rows or lm.struct is None:
+                if not rows or (lm.struct is None and lm.pallas is None):
                     results[vid] = (finder.find_repeat_count(
                         mapped, unmapped_by_vid[vid],
                         read_length=read_length,
                         accuracy_filter=accuracy_filter,
                         average_coverage=average_coverage), False)
                     continue
-                key = (lm.struct.blk_idx.shape[0],
-                       lm.struct.unit_last.shape[0],
-                       lm.struct.log_T_struct_t.shape[0],
-                       lm.meta[0].shape[0])
+                if lm.pallas is not None:
+                    key = ("pallas", lm.pallas.PM.shape[1],
+                           lm.pallas.PB.shape[1],
+                           lm.pallas.struct_to_art.shape[0],
+                           lm.pallas.Wd.shape[0], lm.pallas.Wu.shape[0],
+                           lm.meta[0].shape[0])
+                else:
+                    key = ("struct", lm.struct.blk_idx.shape[0],
+                           lm.struct.unit_last.shape[0],
+                           lm.struct.log_T_struct_t.shape[0],
+                           lm.meta[0].shape[0])
                 prepped[vid] = (finder, lm, reads, rows, row_info)
                 groups[key].append(vid)
             except Exception as error:

@@ -197,32 +197,44 @@ class LocusModelCache:
         import jax.numpy as jnp
         # metadata vectors padded to the state bucket so same-bucket loci
         # can stack into one grouped executable
-        meta_art = _pad_artifact(art, _round_up(art.n_states,
-                                                self.state_bucket))
-        meta = (jnp.asarray(meta_art.kind), jnp.asarray(meta_art.region),
-                jnp.asarray(meta_art.exp_base),
-                jnp.asarray(meta_art.unit))
+        n_pad = _round_up(art.n_states, self.state_bucket)
+        meta = tuple(
+            jnp.asarray(_pad_vector(v, n_pad, fill))
+            for v, fill in ((art.kind, 3), (art.region, 3),
+                            (art.exp_base, -1), (art.unit, -1)))
         struct = None
+        pallas = None
         suffix_last = -1
         if self.use_struct and sm is not None:
             from advntr_tpu.models.struct_compiler import pad_structured
-            from advntr_tpu.ops.viterbi_struct import StructDeviceModel
             P_pad = _round_up(sm.P + 1, self.pos_bucket)
             C_pad = _round_up(sm.C, self.unit_bucket)
             sm = pad_structured(sm, art, P_pad, C_pad)
-            struct = StructDeviceModel.from_struct(sm, art)
             suffix_last = sm.suffix_last
-        pallas = None
-        if struct is not None and _default_kernel() == "pallas":
-            from advntr_tpu.ops.pallas_viterbi import PallasStructModel
-            pallas = PallasStructModel.from_struct(sm, art)
+            if _default_kernel() == "pallas":
+                # the Pallas kernel needs no (S, S) tensors — skip the
+                # StructDeviceModel entirely (its dense log_T_struct_t
+                # construction + upload dominated warm panel runs)
+                from advntr_tpu.ops.pallas_viterbi import PallasStructModel
+                pallas = PallasStructModel.from_struct(sm, art)
+            else:
+                from advntr_tpu.ops.viterbi_struct import StructDeviceModel
+                struct = StructDeviceModel.from_struct(sm, art)
         dense = None
-        if struct is None:
-            n_pad = _round_up(art.n_states, self.state_bucket)
+        if struct is None and pallas is None:
             dense = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
         return LocusModel(art=art, meta=meta, struct=struct,
                           suffix_last=suffix_last, dense=dense,
                           pallas=pallas)
+
+
+def _pad_vector(x, n_pad: int, fill):
+    x = np.asarray(x)
+    if x.shape[0] == n_pad:
+        return x
+    out = np.full((n_pad,) + x.shape[1:], fill, dtype=x.dtype)
+    out[: x.shape[0]] = x
+    return out
 
 
 def _pad_artifact(art, n_pad: int):

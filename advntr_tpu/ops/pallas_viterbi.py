@@ -45,6 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = np.float32(-1e30)
 LN05 = float(np.log(0.5))
 
+# origin planes dtype: int16 halves traceback HBM traffic (struct indices
+# are < 2P+nb <= ~6700 << 32767); int32 fallback via env for debugging
+ORIGIN_DTYPE = jnp.int16 if os.environ.get(
+    "ADVNTR_TPU_ORIGIN32", "0") != "1" else jnp.int32
+
 # row indices in the packed (ROWS, P) parameter matrix
 (R_AMM, R_AIM, R_ADM, R_ENTM, R_I0M, R_MI, R_II, R_DI, R_MD, R_IDW,
  R_I0D, R_HUBD, R_XMU, R_XIU, R_XDU, R_XMS, R_XIS, R_XDS, R_LEM, R_LEI,
@@ -353,9 +358,9 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM_ref, PB_ref, Wd_ref, Wu_ref,
     # round before the int cast: origins ride f32 one-hot matmuls whose
     # HIGHEST-precision result can be off by ~1e-6 relative — truncation
     # would turn 937.0-eps into 936
-    oM_ref[0] = (OMn + 0.5).astype(jnp.int32)
-    oI_ref[0] = (OIn + 0.5).astype(jnp.int32)
-    oI0_ref[0] = (OI0n + 0.5).astype(jnp.int32)
+    oM_ref[0] = (OMn + 0.5).astype(ORIGIN_DTYPE)
+    oI_ref[0] = (OIn + 0.5).astype(ORIGIN_DTYPE)
+    oI0_ref[0] = (OI0n + 0.5).astype(ORIGIN_DTYPE)
 
     @pl.when(t == L - 1)
     def _():
@@ -407,9 +412,9 @@ def pallas_fused_forward(pm: PallasStructModel, seqs, lengths,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((L, B, P), jnp.int32),
-            jax.ShapeDtypeStruct((L, B, P), jnp.int32),
-            jax.ShapeDtypeStruct((L, B, nb), jnp.int32),
+            jax.ShapeDtypeStruct((L, B, P), ORIGIN_DTYPE),
+            jax.ShapeDtypeStruct((L, B, P), ORIGIN_DTYPE),
+            jax.ShapeDtypeStruct((L, B, nb), ORIGIN_DTYPE),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
@@ -456,11 +461,13 @@ def _backward_kernel(lengths_ref, bstate_ref, oM_ref, oI_ref, oI0_ref,
 
     iotaP = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     iotab = jax.lax.broadcasted_iota(jnp.int32, (B, nb), 1)
-    selM = jnp.sum(jnp.where(iotaP == cur, oM_ref[0], 0),
+    selM = jnp.sum(jnp.where(iotaP == cur, oM_ref[0].astype(jnp.int32), 0),
                    axis=1, keepdims=True)
-    selI = jnp.sum(jnp.where(iotaP == cur - P, oI_ref[0], 0),
+    selI = jnp.sum(jnp.where(iotaP == cur - P,
+                             oI_ref[0].astype(jnp.int32), 0),
                    axis=1, keepdims=True)
-    sel0 = jnp.sum(jnp.where(iotab == cur - 2 * P, oI0_ref[0], 0),
+    sel0 = jnp.sum(jnp.where(iotab == cur - 2 * P,
+                             oI0_ref[0].astype(jnp.int32), 0),
                    axis=1, keepdims=True)
     prev = jnp.where(cur < P, selM, jnp.where(cur < 2 * P, selI, sel0))
     hop = (t <= lengths - 1) & (t >= 1)

@@ -288,11 +288,50 @@ class GenomeAnalyzer:
                 "flanking": result.flanking_reads_count,
                 "ml": result.maximum_likelihood}
 
+    def _attach_coverage_corrector(self, alignment_file: str) -> None:
+        """GC coverage-bias model for the expansion workload: histogram the
+        alignment's per-window coverage by GC bin over the reference FASTA
+        and hand every finder a corrector (reference model:
+        advntr/coverage_bias.py:12-125; estimate at vntr_finder.py:783-786).
+        Silently skipped without a reference FASTA."""
+        if not self.ref_filename:
+            return
+        try:
+            from advntr_tpu.engine.coverage_bias import (
+                CoverageBiasDetector, CoverageCorrector)
+            from advntr_tpu.io import fasta
+            chromosomes = {f.reference_vntr.chromosome
+                           for f in self.vntr_finder.values()}
+            refs = {name: seq
+                    for name, seq in fasta.read_fasta(self.ref_filename)
+                    if name in chromosomes
+                    or ("chr" + name) in chromosomes}
+            refs = {(n if n.startswith("chr") else "chr" + n): s
+                    for n, s in refs.items()}
+            detector = CoverageBiasDetector(
+                alignment_file, reference_sequences=refs)
+            gc_map = detector.get_gc_content_coverage_map()
+            if not gc_map:
+                logging.warning("coverage-bias: no covered windows found; "
+                                "skipping GC correction")
+                return
+            corrector = CoverageCorrector(gc_map)
+            for finder in self.vntr_finder.values():
+                finder.coverage_corrector = corrector
+            logging.info("coverage-bias: GC correction active "
+                         "(%d GC bins, mean %.2fx)", len(gc_map),
+                         corrector.get_sequencing_mean_coverage())
+        except Exception as error:
+            logging.warning("coverage-bias model unavailable (%s); using "
+                            "uncorrected coverage", error)
+
     def find_repeat_counts_from_alignment_file(self, alignment_file: str,
                                                accuracy_filter: bool = False,
                                                average_coverage=None,
                                                update: bool = False) -> None:
         import json
+        if average_coverage:
+            self._attach_coverage_corrector(alignment_file)
         ckpt_path = self._checkpoint_path(alignment_file)
         done = self._load_checkpoint(ckpt_path)
         pending = [vid for vid in self.target_vntr_ids if vid not in done]
@@ -469,25 +508,52 @@ class GenomeAnalyzer:
         stacked_meta = tuple(
             jnp.stack([prepped[vid][1].meta[i] for vid in pad_chunk])
             for i in range(len(prepped[chunk[0]][1].meta)))
+        # multi-chip: shard the SAME grouped production executables over a
+        # loci x reads mesh (parallel/mesh.py); single chip runs them direct
+        mesh = self._get_panel_mesh(group_size, B_pad)
         if all(prepped[vid][1].pallas is not None for vid in pad_chunk):
             import jax
             stacked_pallas = tuple(
                 jnp.stack([prepped[vid][1].pallas.flat()[i]
                            for vid in pad_chunk])
                 for i in range(len(prepped[chunk[0]][1].pallas.flat())))
+            interpret = jax.default_backend() == "cpu"
+            if mesh is not None:
+                from advntr_tpu.parallel.mesh import sharded_grouped_read_stats
+                return sharded_grouped_read_stats(
+                    mesh, stacked_pallas, stacked_meta, jnp.asarray(seqs),
+                    jnp.asarray(lengths), kernel="pallas",
+                    interpret=interpret)
             return da.read_stats_pallas_grouped(
                 stacked_pallas, stacked_meta, jnp.asarray(seqs),
-                jnp.asarray(lengths),
-                interpret=jax.default_backend() == "cpu")
+                jnp.asarray(lengths), interpret=interpret)
         suffix_lasts = np.array(
             [prepped[vid][1].suffix_last for vid in pad_chunk],
             dtype=np.int32)
         stacked_struct = tuple(
             jnp.stack([prepped[vid][1].struct.flat()[i] for vid in pad_chunk])
             for i in range(len(prepped[chunk[0]][1].struct.flat())))
+        if mesh is not None:
+            from advntr_tpu.parallel.mesh import sharded_grouped_read_stats
+            return sharded_grouped_read_stats(
+                mesh, stacked_struct, stacked_meta, jnp.asarray(seqs),
+                jnp.asarray(lengths), suffix_lasts=suffix_lasts,
+                kernel="struct")
         return da.read_stats_struct_grouped(
             stacked_struct, stacked_meta, jnp.asarray(seqs),
             jnp.asarray(lengths), jnp.asarray(suffix_lasts))
+
+    def _get_panel_mesh(self, group_size: int, batch: int):
+        """(loci, reads) device mesh for grouped dispatch, or None when a
+        single device is visible (cached per shape)."""
+        key = (group_size, batch)
+        cache = getattr(self, "_panel_mesh_cache", None)
+        if cache is None:
+            cache = self._panel_mesh_cache = {}
+        if key not in cache:
+            from advntr_tpu.parallel.mesh import panel_mesh
+            cache[key] = panel_mesh(group_size, batch)
+        return cache[key]
 
     def _collect_group(self, chunk, prepped, stats, read_length, results,
                        accuracy_filter, average_coverage):

@@ -130,14 +130,20 @@ class LocusModelCache:
 
     @staticmethod
     def _key(ref_vntr, copies, flank_size, error_rate):
-        return (ref_vntr.id, copies, flank_size, error_rate)
+        # the kernel choice is part of the key: LocusModels carry
+        # kernel-specific device tensors, and ADVNTR_TPU_KERNEL may change
+        # between calls while the process-global cache persists
+        return (ref_vntr.id, copies, flank_size, error_rate,
+                _default_kernel())
 
     def _bank_path(self, key):
         import os
         if not self.bank_dir:
             return None
+        # bank payloads are kernel-independent (numpy artifact + struct
+        # model); the kernel component is dropped from the filename
         return os.path.join(self.bank_dir,
-                            "model_%s_%s_%s_%s.pkl.gz" % key)
+                            "model_%s_%s_%s_%s.pkl.gz" % key[:4])
 
     def schedule(self, ref_vntr, copies: int, flank_size: int,
                  error_rate: float) -> None:
@@ -286,6 +292,9 @@ class VNTRFinder:
         self.config = config
         self.is_haploid = is_haploid
         self.cache = model_cache or _GLOBAL_MODEL_CACHE
+        # optional GC coverage-bias corrector for the expansion workload
+        # (set by the analyzer when --expansion runs with a reference FASTA)
+        self.coverage_corrector = None
         # reference: vntr_finder.py:66-73
         self.min_repeat_bp_to_add_read = 2
         self.min_repeat_bp_to_count_repeats = 2
@@ -537,6 +546,14 @@ class VNTRFinder:
             self.config.genotype_error_rate)
         if average_coverage:
             pattern_occurrences = sum(flanking_repeats) + sum(covered_repeats)
+            if self.coverage_corrector is not None:
+                # GC-bias correction: rescale the observed occurrence mass
+                # to the GC-neutral coverage scale before dividing by the
+                # genome-wide average (engine/coverage_bias.py; reference
+                # model advntr/coverage_bias.py:109-117)
+                pattern_occurrences = \
+                    self.coverage_corrector.get_scaled_coverage(
+                        self.reference_vntr, pattern_occurrences)
             haplotypes = 1 if self.is_haploid else 2
             estimate = int(pattern_occurrences /
                            (float(average_coverage) * haplotypes))
@@ -748,6 +765,10 @@ class VNTRFinder:
 
         if average_coverage:
             pattern_occurrences = sum(flanking_repeats) + sum(covered_repeats)
+            if self.coverage_corrector is not None:
+                pattern_occurrences = \
+                    self.coverage_corrector.get_scaled_coverage(
+                        self.reference_vntr, pattern_occurrences)
             haplotypes = 1 if self.is_haploid else 2
             estimate = int(pattern_occurrences /
                            (float(average_coverage) * haplotypes))

@@ -88,6 +88,91 @@ def multi_locus_read_stats(mesh: Mesh, stacked_models, seqs, lengths):
     return _sharded_multi_locus_stats(mesh, sharding_models, seqs, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "kernel", "interpret"))
+def _sharded_grouped_stats(mesh, stacked_kernel, stacked_meta, seqs,
+                           lengths, suffix_lasts, kernel: str,
+                           interpret: bool):
+    in_specs = (
+        tuple(P("loci") for _ in stacked_kernel),
+        tuple(P("loci") for _ in stacked_meta),
+        P("loci", "reads", None),
+        P("loci", "reads"),
+        P("loci"),
+    )
+
+    def shard_body(models, meta, s, ln, sl):
+        if kernel == "pallas":
+            return da.read_stats_pallas_grouped(models, meta, s, ln,
+                                                interpret=interpret)
+        return da.read_stats_struct_grouped(models, meta, s, ln, sl)
+
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P("loci", "reads"),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation, so
+        # the vma checker cannot validate them; outputs are per-shard-local
+        # by construction (no cross-shard reduction anywhere)
+        check_vma=False,
+    )(stacked_kernel, stacked_meta, seqs, lengths, suffix_lasts)
+
+
+def sharded_grouped_read_stats(mesh: Mesh, stacked_kernel, stacked_meta,
+                               seqs, lengths, suffix_lasts=None,
+                               kernel: str = "struct",
+                               interpret: bool = False):
+    """PRODUCTION multi-chip dispatch: the same grouped fused
+    Viterbi+analytics executables the single-chip analyzer runs
+    (da.read_stats_{struct,pallas}_grouped), sharded loci x reads.
+
+    Each device owns G/n_loci locus models (HBM-resident) and scores
+    B/n_reads reads per locus; per-read outputs are independent, so the only
+    collective is the output all-gather XLA inserts for the host fetch.
+    Replaces the reference's serial per-locus loop
+    (genome_analyzer.py:280-297) at scale-out.
+
+    stacked_kernel: per-field stacks of PallasStructModel.flat() or
+    StructDeviceModel.flat() with a leading locus axis (G, ...).
+    seqs: (G, B, L); lengths: (G, B); suffix_lasts: (G,) for struct.
+    Returns dict of (G, B) arrays.
+    """
+    g_axis = mesh.shape["loci"]
+    r_axis = mesh.shape["reads"]
+    G, B, L = seqs.shape
+    assert G % g_axis == 0, (G, g_axis)
+    assert B % r_axis == 0, (B, r_axis)
+    if suffix_lasts is None:
+        suffix_lasts = np.zeros(G, dtype=np.int32)
+    put = jax.device_put
+    stacked_kernel = tuple(
+        put(m, NamedSharding(mesh, P("loci"))) for m in stacked_kernel)
+    stacked_meta = tuple(
+        put(m, NamedSharding(mesh, P("loci"))) for m in stacked_meta)
+    seqs = put(jnp.asarray(seqs), NamedSharding(mesh, P("loci", "reads",
+                                                        None)))
+    lengths = put(jnp.asarray(lengths), NamedSharding(mesh,
+                                                      P("loci", "reads")))
+    suffix_lasts = put(jnp.asarray(suffix_lasts),
+                       NamedSharding(mesh, P("loci")))
+    return _sharded_grouped_stats(mesh, stacked_kernel, stacked_meta, seqs,
+                                  lengths, suffix_lasts, kernel, interpret)
+
+
+def panel_mesh(group_size: int, batch: int, devices=None) -> Mesh | None:
+    """Factor the available devices into a (loci, reads) mesh compatible
+    with the analyzer's grouped dispatch shapes, or None single-device."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n <= 1:
+        return None
+    n_loci = math.gcd(group_size, n)
+    n_reads = n // n_loci
+    if n_loci * n_reads != n or batch % n_reads != 0:
+        return None
+    return make_mesh(n_loci=n_loci, n_reads=n_reads, devices=devices)
+
+
 def data_parallel_read_stats(mesh: Mesh, model_arrays, seqs, lengths):
     """Single-locus variant: reads sharded over every device in the mesh."""
     n = math.prod(mesh.devices.shape)

@@ -64,3 +64,112 @@ def test_data_parallel_single_locus(models):
     ref = da.read_stats(model.flat(), seqs[0], lengths[0])
     np.testing.assert_allclose(np.asarray(out["logp"]),
                                np.asarray(ref["logp"]), rtol=1e-5)
+
+
+# ---- PRODUCTION grouped dispatch, sharded (struct + pallas kernels) --------
+
+@pytest.fixture(scope="module")
+def grouped():
+    import __graft_entry__ as ge
+    patterns = ["CAGCAG", "TTGGCC", "ACGTAC", "GGCCAA"]
+    stacks = ge._make_grouped_models(patterns)
+    seqs, lengths = _read_batch(patterns, B=8)
+    return patterns, stacks, seqs, lengths
+
+
+def test_sharded_grouped_struct_exact(grouped):
+    """Sharded production struct dispatch == unsharded, bit for bit."""
+    from advntr_tpu.parallel.mesh import sharded_grouped_read_stats
+    patterns, (st, pa, meta, sl), seqs, lengths = grouped
+    mesh = make_mesh(n_loci=2, n_reads=4)
+    out = sharded_grouped_read_stats(mesh, st, meta, seqs, lengths,
+                                     suffix_lasts=sl, kernel="struct")
+    import jax.numpy as jnp
+    ref = da.read_stats_struct_grouped(st, meta, jnp.asarray(seqs),
+                                       jnp.asarray(lengths),
+                                       jnp.asarray(sl))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]),
+                                      err_msg=k)
+
+
+def test_sharded_grouped_pallas_exact(grouped):
+    """Sharded production pallas dispatch (interpret off-TPU) == struct."""
+    from advntr_tpu.parallel.mesh import sharded_grouped_read_stats
+    patterns, (st, pa, meta, sl), seqs, lengths = grouped
+    mesh = make_mesh(n_loci=4, n_reads=2)
+    out = sharded_grouped_read_stats(mesh, pa, meta, seqs, lengths,
+                                     kernel="pallas", interpret=True)
+    import jax.numpy as jnp
+    ref = da.read_stats_struct_grouped(st, meta, jnp.asarray(seqs),
+                                       jnp.asarray(lengths),
+                                       jnp.asarray(sl))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]),
+                                      err_msg=k)
+
+
+def test_panel_mesh_factoring():
+    from advntr_tpu.parallel.mesh import panel_mesh
+    mesh = panel_mesh(group_size=8, batch=512)
+    assert mesh is not None
+    assert mesh.shape["loci"] * mesh.shape["reads"] == 8
+    assert 8 % mesh.shape["loci"] == 0
+    assert 512 % mesh.shape["reads"] == 0
+    assert panel_mesh(8, 512, devices=jax.devices()[:1]) is None
+
+
+def test_analyzer_uses_sharded_dispatch(monkeypatch, tmp_path):
+    """End-to-end: the analyzer's grouped dispatch routes through the mesh
+    when >1 device is visible, and genotypes stay identical to the
+    single-device path."""
+    import io as _io
+    import random
+    import advntr_tpu.parallel.mesh as mesh_mod
+    from advntr_tpu.config import Config
+    from advntr_tpu.engine.analyzer import GenomeAnalyzer
+    from advntr_tpu.engine.simulate import simulate_diploid_reads
+    from advntr_tpu.io.bam import BamRead, BamWriter
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    rng = random.Random(31)
+    pattern = "GATCGATTCGAA"
+    ref = ReferenceVNTR(55, pattern, 1000, "chr1")
+    ref.repeat_segments = [pattern] * 3
+    ref.left_flanking_region = "".join(
+        rng.choice("ACGT") for _ in range(200))
+    ref.right_flanking_region = "".join(
+        rng.choice("ACGT") for _ in range(200))
+    reads, _, _ = simulate_diploid_reads(
+        ref.left_flanking_region, pattern, 2, 4, ref.right_flanking_region,
+        read_length=100, coverage=30, error_rate=0.002, seed=9)
+    bam_path = str(tmp_path / "s.bam")
+    with BamWriter(bam_path, ["chr1"], [100000]) as w:
+        for name, seq in reads:
+            w.write(BamRead(name, 4, -1, -1, 0, [], seq, [38] * len(seq)))
+
+    calls = {"n": 0}
+    orig = mesh_mod.sharded_grouped_read_stats
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    outputs = {}
+    for tag in ("sharded", "single"):
+        if tag == "sharded":
+            monkeypatch.setattr(mesh_mod, "sharded_grouped_read_stats", spy)
+        else:
+            monkeypatch.setattr(mesh_mod, "panel_mesh",
+                                lambda *a, **kw: None)
+        buf = _io.StringIO()
+        analyzer = GenomeAnalyzer([ref], [55],
+                                  str(tmp_path / tag) + "/", "text",
+                                  config=Config(), out=buf,
+                                  input_file=bam_path)
+        analyzer.find_repeat_counts_from_alignment_file(bam_path)
+        outputs[tag] = buf.getvalue()
+    assert calls["n"] >= 1, "sharded dispatch not used with 8 devices"
+    assert outputs["sharded"] == outputs["single"]
+    assert outputs["sharded"].strip().splitlines() == ["55", "2/4"]
+

@@ -18,7 +18,8 @@ aggregate statistics (e.g. coverage histograms) reduce with psum when used.
 from __future__ import annotations
 
 import json
-import logging
+import os
+import time
 
 
 def initialize(coordinator_address: str | None = None,
@@ -41,27 +42,36 @@ def shard_loci(target_vntr_ids, process_id: int, num_processes: int):
 
 
 def gather_results(local_results: dict, process_id: int,
-                   num_processes: int, output_dir: str):
+                   num_processes: int, output_dir: str,
+                   timeout_s: float = 600.0):
     """Ordered cross-host merge of per-locus genotype records.
 
     Genotype records are tiny (a few bytes per locus), so the merge is a
-    filesystem gather: each host writes its shard, host 0 merges in panel
-    order.  On pod slices with a shared filesystem this needs no network
-    code; swap in a jax.experimental.multihost_utils broadcast if desired.
+    filesystem gather: each host atomically publishes its shard (write to a
+    temp name + rename), host 0 waits for every shard and merges in panel
+    order.  A shard that never appears within ``timeout_s`` is a hard error
+    — a silently incomplete panel must never look like a complete one.  On
+    pod slices with a shared filesystem this needs no network code; swap in
+    a jax.experimental.multihost_utils broadcast if desired.
     """
-    import os
     os.makedirs(output_dir, exist_ok=True)
     shard_file = os.path.join(output_dir, f"results_shard_{process_id}.json")
-    with open(shard_file, "w") as fh:
+    tmp_file = shard_file + f".tmp.{os.getpid()}"
+    with open(tmp_file, "w") as fh:
         json.dump({str(k): v for k, v in local_results.items()}, fh)
+    os.replace(tmp_file, shard_file)  # atomic publish
     if process_id != 0:
         return None
     merged = {}
+    deadline = time.monotonic() + timeout_s
     for p in range(num_processes):
         path = os.path.join(output_dir, f"results_shard_{p}.json")
-        if not os.path.exists(path):
-            logging.warning("missing results shard %s", p)
-            continue
+        while not os.path.exists(path):
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"results shard {p} missing after {timeout_s:.0f}s "
+                    f"({path}); refusing to emit an incomplete panel")
+            time.sleep(0.05)
         with open(path) as fh:
             merged.update(json.load(fh))
     return merged

@@ -80,8 +80,9 @@ def main():
         pm = pv.PallasStructModel(*pm_arrays)
 
         def one(q, ln):
-            best, bstate, oM, oI, oI0 = pv.pallas_fused_forward(pm, q, ln)
-            path = pv.pallas_backward(ln, bstate, oM, oI, oI0)
+            best, bstate, oM, oI, oI0, oHub = pv.pallas_fused_forward(
+                pm, q, ln)
+            path = pv.pallas_backward(ln, bstate, oM, oI, oI0, oHub)
             return best, path
 
         return jax.vmap(one)(seqs_c, lengths_c)

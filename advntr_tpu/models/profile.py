@@ -75,9 +75,14 @@ def profile_from_alignment(error_rate: float, alignment: list[str]):
             continue
         total = sum(table.values())
         if total > 0:
+            # plain left-fold accumulation, NOT builtin sum(): CPython >=3.12
+            # sum() is Neumaier-compensated for floats, which flips the last
+            # ulp vs the reference's loop (profile_hmm.py:61-68) and breaks
+            # bit-level emission conformance
+            sub_total = 0.0
             for base in table:
                 table[base] = table[base] / total + pseu
-            sub_total = sum(table.values())
+                sub_total += table[base]
             for base in table:
                 table[base] = table[base] / sub_total
         else:
@@ -146,14 +151,51 @@ def profile_from_alignment(error_rate: float, alignment: list[str]):
     return transitions, emissions
 
 
+def read_alignment_fasta(path: str) -> list[str]:
+    """Read a precomputed MSA from aligned FASTA (MUSCLE's output format:
+    '-' gaps, equal-length rows).  Used by the alignment-import conformance
+    mode (reference runs MUSCLE and parses it via AlignIO,
+    profile_hmm.py:165-171)."""
+    rows, cur = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if cur:
+                    rows.append("".join(cur))
+                cur = []
+            else:
+                cur.append(line.upper())
+    if cur:
+        rows.append("".join(cur))
+    if not rows:
+        raise ValueError(f"no sequences in alignment file {path}")
+    if len({len(r) for r in rows}) != 1:
+        raise ValueError(f"alignment rows have unequal lengths in {path}")
+    return rows
+
+
 def profile_for_repeats(repeats: list[str], error_rate: float,
-                        aligner=None):
+                        aligner=None, alignment=None):
     """Estimate a profile from raw (unaligned) repeat segments.
 
     The reference shells out to MUSCLE for the MSA (profile_hmm.py:165-171);
     here the default aligner is the internal center-star MSA
     (advntr_tpu.models.msa), which needs no external binary.
+
+    ``alignment`` imports a precomputed MSA instead of aligning: a list of
+    equal-length gapped rows, or a path to an aligned FASTA (e.g. MUSCLE
+    output).  This is the conformance mode for pre-trained-DB loci whose
+    emissions were estimated from a MUSCLE alignment — with the recorded
+    alignment the estimator reproduces the reference's parameters at the
+    bit level (tests/test_profile_import.py).
     """
+    if alignment is not None:
+        if isinstance(alignment, str):
+            alignment = read_alignment_fasta(alignment)
+        return profile_from_alignment(error_rate, list(alignment))
     if len(repeats) > 1:
         if aligner is None:
             from advntr_tpu.models.msa import center_star_msa

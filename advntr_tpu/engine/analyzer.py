@@ -185,7 +185,7 @@ class GenomeAnalyzer:
             max_reads_per_locus=self.config.max_reads_per_locus)
 
         def unmapped_iter():
-            with open_alignment(alignment_file) as bam:
+            with open_alignment(alignment_file, self.ref_filename) as bam:
                 for rec in bam.fetch_unmapped():
                     yield rec.query_name, rec.seq
 
@@ -340,7 +340,7 @@ class GenomeAnalyzer:
         if pending:
             unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                           illumina=True)
-            with open_alignment(alignment_file) as bam:
+            with open_alignment(alignment_file, self.ref_filename) as bam:
                 read_length = self._median_read_length(bam)
                 for vid in pending:
                     finder = self.vntr_finder[vid]
@@ -575,7 +575,7 @@ class GenomeAnalyzer:
     def find_frameshift_from_alignment_file(self, alignment_file: str) -> None:
         unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                       illumina=True)
-        with open_alignment(alignment_file) as bam:
+        with open_alignment(alignment_file, self.ref_filename) as bam:
             read_length = self._median_read_length(bam)
             for vid in self.target_vntr_ids:
                 finder = self.vntr_finder[vid]
@@ -595,7 +595,7 @@ class GenomeAnalyzer:
         unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                       illumina=False)
         self._emit_header()
-        with open_alignment(alignment_file) as bam:
+        with open_alignment(alignment_file, self.ref_filename) as bam:
             for vid in self.target_vntr_ids:
                 finder = self.vntr_finder[vid]
                 try:

@@ -96,9 +96,13 @@ class SamReader:
                 yield rec
 
 
-def open_alignment(path: str):
-    """BAM or SAM by extension."""
+def open_alignment(path: str, reference_fasta: str | None = None):
+    """BAM, SAM, or CRAM by extension (reference pysam mode dispatch,
+    sam_utils.py:17; CRAM decoding needs the reference FASTA)."""
     if path.endswith(".sam"):
         return SamReader(path)
+    if path.endswith(".cram"):
+        from advntr_tpu.io.cram import CramReader
+        return CramReader(path, reference_fasta=reference_fasta)
     from advntr_tpu.io.bam import BamReader
     return BamReader(path)

@@ -205,6 +205,20 @@ def read_stats_struct(struct_arrays, meta_arrays, seqs, lengths,
                                return_path=return_path)
 
 
+@functools.partial(jax.jit, static_argnames=("return_path", "segment"))
+def read_stats_struct_ckpt(struct_arrays, meta_arrays, seqs, lengths,
+                           suffix_last, return_path: bool = False,
+                           segment: int = 512):
+    """Fused Viterbi + analytics via the checkpointed (recompute)
+    traceback — the memory-safe path for multi-kb lattices."""
+    from advntr_tpu.ops.viterbi_ckpt import viterbi_struct_checkpointed
+    logp, _, path = viterbi_struct_checkpointed(
+        struct_arrays, seqs, lengths, suffix_last, return_path=True,
+        segment=segment)
+    return analytics_from_path(meta_arrays, logp, path, seqs, lengths,
+                               return_path=return_path)
+
+
 @functools.partial(jax.jit, static_argnames=("return_path", "interpret"))
 def read_stats_pallas(pallas_arrays, meta_arrays, seqs, lengths,
                       return_path: bool = False, interpret: bool = False):

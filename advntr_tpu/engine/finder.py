@@ -65,6 +65,22 @@ class LocusModel:
     suffix_last: int
     dense: object | None = None    # DeviceModel fallback (built lazily)
     pallas: object | None = None   # PallasStructModel (fused device kernel)
+    sm: object | None = None       # padded host StructModel (lazy rebuilds)
+
+    def struct_model(self):
+        """StructDeviceModel on demand: the Pallas path skips building it
+        (its (S,S) decode matrix is expensive), but the checkpointed
+        long-read kernel needs one."""
+        if self.struct is None and self.sm is not None:
+            from advntr_tpu.ops.viterbi_struct import StructDeviceModel
+            self.struct = StructDeviceModel.from_struct(self.sm, self.art)
+        return self.struct
+
+
+# reads longer than this route to the checkpointed (recompute) traceback:
+# beyond ~2k columns the full origin/value planes outgrow the HBM budget
+CKPT_TRACEBACK_L = int(os.environ.get("ADVNTR_TPU_CKPT_L", "2048"))
+CKPT_SEGMENT = int(os.environ.get("ADVNTR_TPU_CKPT_SEGMENT", "512"))
 
 
 def _default_kernel() -> str:
@@ -231,7 +247,8 @@ class LocusModelCache:
             dense = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
         return LocusModel(art=art, meta=meta, struct=struct,
                           suffix_last=suffix_last, dense=dense,
-                          pallas=pallas)
+                          pallas=pallas,
+                          sm=sm if self.use_struct else None)
 
 
 def _pad_vector(x, n_pad: int, fill):
@@ -564,7 +581,16 @@ class VNTRFinder:
                               len(flanking_repeats), max_prob)
 
     def run_device(self, lm, batch, lengths, return_paths: bool = False):
-        if lm.pallas is not None:
+        L = int(np.asarray(batch).shape[1])
+        if L > CKPT_TRACEBACK_L and lm.struct_model() is not None:
+            # long lattices (PacBio multi-kb reads): per-column planes for
+            # the whole read exceed the HBM budget — use the two-pass
+            # checkpointed traceback (ops/viterbi_ckpt.py)
+            stats = da.read_stats_struct_ckpt(
+                lm.struct.flat(), lm.meta, jnp.asarray(batch),
+                jnp.asarray(lengths), lm.suffix_last,
+                return_path=return_paths, segment=CKPT_SEGMENT)
+        elif lm.pallas is not None:
             import jax
             stats = da.read_stats_pallas(
                 lm.pallas.flat(), lm.meta, jnp.asarray(batch),

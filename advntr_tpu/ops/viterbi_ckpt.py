@@ -1,0 +1,126 @@
+"""Checkpointed (recompute) Viterbi traceback for long lattices.
+
+The plain kernels materialize per-column planes for the whole read — the
+struct kernel stores (L, B, 2P+nb) f32 value planes, the Pallas kernel
+(L, B, ~2P) int16 origin planes.  At PacBio scale (L ~ 10kb+, P ~ 3000)
+those planes exceed the HBM budget (SURVEY §7 hard part 5; the reference
+CPU kernel handles arbitrary n per read, pomegranate hmm.pyx:1970-2130,
+because its traceback matrix lives in host RAM).
+
+This module trades FLOPs for memory with the classic two-pass scheme:
+
+1. forward pass over ``n_seg`` segments of ``K`` columns each, storing
+   ONLY the DP carry (M, I, I0, D, hub — (B, ~3P) floats) at each segment
+   start: (L/K, B, ~3P) total instead of (L, B, ~3P);
+2. backward pass walking segments in reverse: each segment re-runs its
+   forward from the checkpointed carry — this time materializing its K
+   value planes — and argmax-decodes its slice of the path before the
+   next segment's planes replace them.
+
+Peak plane memory drops from O(L·B·P) to O(K·B·P) + O(L/K·B·P); K ~
+sqrt(L) gives the standard O(sqrt) memory Viterbi.  Forward work doubles
+(FLOPs are cheap on TPU; HBM capacity is the binding constraint).
+
+Exactness: the per-column math IS viterbi_struct.forward_step /
+silent_layer — shared functions, not copies — so scores, paths and
+analytics are bit-identical to the unsegmented kernel (tested), which is
+itself conformance-locked to the f64 oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from advntr_tpu.ops.viterbi_struct import (StructDeviceModel,
+                                           forward_step, initial_column,
+                                           struct_plane)
+
+
+def _forward_segment(m, suffix_last, lengths, carry, ems, ts,
+                     store_planes: bool):
+    """Run one segment of forward columns from ``carry``; optionally keep
+    the per-column value planes (pass 2) or drop them (pass 1)."""
+    step = functools.partial(forward_step, m, suffix_last, lengths)
+    if store_planes:
+        return jax.lax.scan(step, carry, ems + (ts,))
+    new_carry, _ = jax.lax.scan(
+        lambda c, x: (step(c, x)[0], None), carry, ems + (ts,))
+    return new_carry, None
+
+
+@functools.partial(jax.jit, static_argnames=("return_path", "segment"))
+def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
+                                return_path: bool = True,
+                                segment: int = 512):
+    """Two-pass struct Viterbi: same contract as viterbi_struct_batch,
+    O(K·B·P + (L/K)·B·P) plane memory instead of O(L·B·P)."""
+    m = StructDeviceModel(*model_arrays)
+    B, L = seqs.shape
+    seqs = seqs.astype(jnp.int32)
+
+    eM_x = jnp.transpose(jnp.take(m.eM, seqs.T, axis=1), (1, 2, 0))
+    eI_x = jnp.transpose(jnp.take(m.eI, seqs.T, axis=1), (1, 2, 0))
+    eI0_x = jnp.transpose(jnp.take(m.eI0, seqs.T, axis=1), (1, 2, 0))
+
+    carry0 = initial_column(m, suffix_last, eM_x[0], eI_x[0], eI0_x[0])
+
+    n_steps = L - 1
+    K = max(1, min(segment, max(n_steps, 1)))
+    bounds = list(range(0, n_steps, K))          # step offsets per segment
+
+    def seg_inputs(s0):
+        s1 = min(s0 + K, n_steps)
+        ems = (eM_x[1 + s0:1 + s1], eI_x[1 + s0:1 + s1],
+               eI0_x[1 + s0:1 + s1])
+        ts = jnp.arange(1 + s0, 1 + s1, dtype=jnp.int32)
+        return ems, ts, s1
+
+    # ---- pass 1: forward, checkpoint segment-entry carries ---------------
+    checkpoints = []
+    carry = carry0
+    for s0 in bounds:
+        checkpoints.append(carry)
+        ems, ts, _ = seg_inputs(s0)
+        carry, _ = _forward_segment(m, suffix_last, lengths, carry, ems,
+                                    ts, store_planes=False)
+    Mf, If, I0f, _, _, best = carry
+    if not return_path:
+        return best, None, None
+
+    final_plane = struct_plane(Mf, If, I0f)
+    end_state_s = jnp.argmax(final_plane + m.log_end_struct[None, :],
+                             axis=1).astype(jnp.int32)
+
+    # ---- pass 2: per segment (reverse): recompute planes, walk back ------
+    def back_step(cur, inputs):
+        v_prev, t = inputs
+        prev = jnp.argmax(v_prev + jnp.take(m.log_T_struct_t, cur, axis=0),
+                          axis=1).astype(jnp.int32)
+        new_cur = jnp.where(t <= lengths - 1, prev, cur)
+        return new_cur, cur
+
+    cur = end_state_s
+    seg_paths = []
+    for idx in range(len(bounds) - 1, -1, -1):
+        s0 = bounds[idx]
+        ems, ts, s1 = seg_inputs(s0)
+        _, v_planes = _forward_segment(m, suffix_last, lengths,
+                                       checkpoints[idx], ems, ts,
+                                       store_planes=True)
+        ts_rev = jnp.arange(s1, s0, -1, dtype=jnp.int32)
+        cur, emitted = jax.lax.scan(back_step, cur,
+                                    (v_planes[::-1], ts_rev))
+        seg_paths.append(emitted[::-1].T)        # (B, s1-s0)
+    if n_steps:
+        path_s = jnp.concatenate([cur[:, None]] + seg_paths[::-1], axis=1)
+    else:
+        path_s = end_state_s[:, None]
+    path_s = jnp.where((lengths == 1)[:, None],
+                       jnp.broadcast_to(end_state_s[:, None], path_s.shape),
+                       path_s)
+    path = jnp.take(m.struct_to_art, path_s)
+    end_state = jnp.take(m.struct_to_art, end_state_s)
+    return best, end_state, path

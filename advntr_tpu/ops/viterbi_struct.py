@@ -159,6 +159,84 @@ def _shift_decay_scan(W, b):
     return v
 
 
+def silent_layer(m, suffix_last, Mn, In, I0n):
+    """D chains + hub values for one column of emitting values."""
+    B = Mn.shape[0]
+    I0_by_pos = jnp.take(I0n, m.blk_idx, axis=1)
+    bb = jnp.maximum(
+        jnp.maximum(_shift1(Mn) + m.md[None, :],
+                    _shift1(In) + m.idw[None, :]),
+        I0_by_pos + m.i0_d[None, :])
+    Dinner = _shift_decay_scan(m.Wd, bb)
+    ul = m.unit_last
+    q = jnp.maximum(
+        jnp.maximum(jnp.take(Mn, ul, axis=1) + jnp.take(m.xm, ul)[None, :],
+                    jnp.take(In, ul, axis=1) + jnp.take(m.xi, ul)[None, :]),
+        jnp.take(Dinner, ul, axis=1) + jnp.take(m.xd, ul)[None, :])
+    sl = jnp.asarray(suffix_last, dtype=jnp.int32)
+    sufq = jnp.maximum(
+        jnp.maximum(jnp.take(Mn, sl, axis=1) + jnp.take(m.xm, sl),
+                    jnp.take(In, sl, axis=1) + jnp.take(m.xi, sl)),
+        jnp.take(Dinner, sl, axis=1) + jnp.take(m.xd, sl))
+    # unit_start chain: us_c = max(s_c, us_{c-1} + r_unit + ln(1/2))
+    s = jnp.concatenate([sufq[:, None], q[:, :-1] + LN05], axis=1)
+    us = _shift_decay_scan(m.Wu, s)                               # (B,C)
+    ue = jnp.maximum(q, us + m.r_unit)
+    pstart = jnp.max(ue + LN05, axis=1)    # end_repeats -> prefix_start
+    hub = jnp.concatenate(
+        [jnp.full((B, 1), NEG32), us, pstart[:, None]], axis=1)
+    hub_by_pos = jnp.take(hub, m.blk_idx, axis=1)
+    Dn = jnp.maximum(Dinner, hub_by_pos + m.hub_d[None, :])
+    return Dn, hub
+
+
+def struct_plane(M, I, I0):
+    return jnp.concatenate([M, I, I0], axis=1)
+
+
+def initial_column(m, suffix_last, eM0, eI0_, eI00):
+    """Column-0 carry (M, I, I0, D, hub, best)."""
+    M0 = m.M_start[None, :] + eM0
+    Iv0 = m.I_start[None, :] + eI0_
+    I00 = m.I0_start[None, :] + eI00
+    D0, hub0 = silent_layer(m, suffix_last, M0, Iv0, I00)
+    finals0 = jnp.max(struct_plane(M0, Iv0, I00)
+                      + m.log_end_struct[None, :], axis=1)
+    return (M0, Iv0, I00, D0, hub0, finals0)
+
+
+def forward_step(m, suffix_last, lengths, carry, inputs):
+    """One forward column (t >= 1).  Emits the PREVIOUS column's value
+    plane — what the argmax-rederivation traceback walks."""
+    M, I, I0, D, hub, best = carry
+    eM_t, eI_t, eI0_t, t = inputs
+    hub_by_pos = jnp.take(hub, m.blk_idx, axis=1)
+    I0_by_pos = jnp.take(I0, m.blk_idx, axis=1)
+    Mn = eM_t + jnp.maximum(
+        jnp.maximum(_shift1(M) + m.a_mm[None, :],
+                    _shift1(I) + m.a_im[None, :]),
+        jnp.maximum(_shift1(D) + m.a_dm[None, :],
+                    jnp.maximum(hub_by_pos + m.ent_m[None, :],
+                                I0_by_pos + m.i0_m[None, :])))
+    In = eI_t + jnp.maximum(
+        jnp.maximum(M + m.mi[None, :], I + m.ii[None, :]),
+        D + m.di[None, :])
+    I0n = eI0_t + jnp.maximum(I0 + m.i0_i[None, :],
+                              hub + m.hub_i0[None, :])
+    act = (t < lengths)[:, None]
+    Mn = jnp.where(act, Mn, M)
+    In = jnp.where(act, In, I)
+    I0n = jnp.where(act, I0n, I0)
+    Dn, hubn = silent_layer(m, suffix_last, Mn, In, I0n)
+    Dn = jnp.where(act, Dn, D)
+    hubn = jnp.where(act, hubn, hub)
+    fin = jnp.max(struct_plane(Mn, In, I0n)
+                  + m.log_end_struct[None, :], axis=1)
+    best = jnp.where(t == lengths - 1, fin, best)
+    prev_plane = struct_plane(M, I, I0)
+    return (Mn, In, I0n, Dn, hubn, best), prev_plane
+
+
 @functools.partial(jax.jit, static_argnames=("return_path",))
 def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
                          return_path: bool = True):
@@ -175,79 +253,12 @@ def viterbi_struct_batch(model_arrays, seqs, lengths, suffix_last,
     eI_x = jnp.transpose(jnp.take(m.eI, seqs.T, axis=1), (1, 2, 0))
     eI0_x = jnp.transpose(jnp.take(m.eI0, seqs.T, axis=1), (1, 2, 0))  # (L,B,nb)
 
-    def silent_layer(Mn, In, I0n):
-        """D chains + hub values for one column of emitting values."""
-        I0_by_pos = jnp.take(I0n, m.blk_idx, axis=1)
-        bb = jnp.maximum(
-            jnp.maximum(_shift1(Mn) + m.md[None, :],
-                        _shift1(In) + m.idw[None, :]),
-            I0_by_pos + m.i0_d[None, :])
-        Dinner = _shift_decay_scan(m.Wd, bb)
-        ul = m.unit_last
-        q = jnp.maximum(
-            jnp.maximum(jnp.take(Mn, ul, axis=1) + jnp.take(m.xm, ul)[None, :],
-                        jnp.take(In, ul, axis=1) + jnp.take(m.xi, ul)[None, :]),
-            jnp.take(Dinner, ul, axis=1) + jnp.take(m.xd, ul)[None, :])
-        sl = jnp.asarray(suffix_last, dtype=jnp.int32)
-        sufq = jnp.maximum(
-            jnp.maximum(jnp.take(Mn, sl, axis=1) + jnp.take(m.xm, sl),
-                        jnp.take(In, sl, axis=1) + jnp.take(m.xi, sl)),
-            jnp.take(Dinner, sl, axis=1) + jnp.take(m.xd, sl))
-        # unit_start chain: us_c = max(s_c, us_{c-1} + r_unit + ln(1/2))
-        s = jnp.concatenate([sufq[:, None], q[:, :-1] + LN05], axis=1)
-        us = _shift_decay_scan(m.Wu, s)                               # (B,C)
-        ue = jnp.maximum(q, us + m.r_unit)
-        pstart = jnp.max(ue + LN05, axis=1)    # end_repeats -> prefix_start
-        hub = jnp.concatenate(
-            [jnp.full((B, 1), NEG32), us, pstart[:, None]], axis=1)
-        hub_by_pos = jnp.take(hub, m.blk_idx, axis=1)
-        Dn = jnp.maximum(Dinner, hub_by_pos + m.hub_d[None, :])
-        return Dn, hub
-
-    def struct_plane(M, I, I0):
-        return jnp.concatenate([M, I, I0], axis=1)
-
-    # ---- initial column ----------------------------------------------------
-    M0 = m.M_start[None, :] + eM_x[0]
-    Iv0 = m.I_start[None, :] + eI_x[0]
-    I00 = m.I0_start[None, :] + eI0_x[0]
-    D0, hub0 = silent_layer(M0, Iv0, I00)
-    finals0 = jnp.max(struct_plane(M0, Iv0, I00)
-                      + m.log_end_struct[None, :], axis=1)
-
-    def step(carry, inputs):
-        M, I, I0, D, hub, best = carry
-        eM_t, eI_t, eI0_t, t = inputs
-        hub_by_pos = jnp.take(hub, m.blk_idx, axis=1)
-        I0_by_pos = jnp.take(I0, m.blk_idx, axis=1)
-        Mn = eM_t + jnp.maximum(
-            jnp.maximum(_shift1(M) + m.a_mm[None, :],
-                        _shift1(I) + m.a_im[None, :]),
-            jnp.maximum(_shift1(D) + m.a_dm[None, :],
-                        jnp.maximum(hub_by_pos + m.ent_m[None, :],
-                                    I0_by_pos + m.i0_m[None, :])))
-        In = eI_t + jnp.maximum(
-            jnp.maximum(M + m.mi[None, :], I + m.ii[None, :]),
-            D + m.di[None, :])
-        I0n = eI0_t + jnp.maximum(I0 + m.i0_i[None, :],
-                                  hub + m.hub_i0[None, :])
-        act = (t < lengths)[:, None]
-        Mn = jnp.where(act, Mn, M)
-        In = jnp.where(act, In, I)
-        I0n = jnp.where(act, I0n, I0)
-        Dn, hubn = silent_layer(Mn, In, I0n)
-        Dn = jnp.where(act, Dn, D)
-        hubn = jnp.where(act, hubn, hub)
-        fin = jnp.max(struct_plane(Mn, In, I0n)
-                      + m.log_end_struct[None, :], axis=1)
-        best = jnp.where(t == lengths - 1, fin, best)
-        prev_plane = struct_plane(M, I, I0)
-        return (Mn, In, I0n, Dn, hubn, best), prev_plane
+    carry0 = initial_column(m, suffix_last, eM_x[0], eI_x[0], eI0_x[0])
+    step = functools.partial(forward_step, m, suffix_last, lengths)
 
     ts = jnp.arange(1, L, dtype=jnp.int32)
     (Mf, If, I0f, _, _, best), v_planes = jax.lax.scan(
-        step, (M0, Iv0, I00, D0, hub0, finals0),
-        (eM_x[1:], eI_x[1:], eI0_x[1:], ts))
+        step, carry0, (eM_x[1:], eI_x[1:], eI0_x[1:], ts))
 
     if not return_path:
         return best, None, None

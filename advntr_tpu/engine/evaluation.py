@@ -63,6 +63,75 @@ def recruitment_metrics(selected_names, true_names, all_names):
             "precision": precision, "recall": recall}
 
 
+def compare_recruitment_methods(ref_vntr, methods: dict, n_true: int = 100,
+                                read_length: int = 150,
+                                error_rate: float = 0.003,
+                                decoys: list[str] | None = None,
+                                seed: int = 0):
+    """Benchmark recruiter callables on simulated reads for one locus.
+
+    The comparison harness the reference runs against BLAST/bowtie2/DNN
+    recruiters over simulated data (deep_recruitment.py:148-263,354-382),
+    as a programmatic utility: ``methods`` maps a name to a callable
+    ``(reads: list[str]) -> selected indices/bools``; true reads are
+    sliding windows over the locus haplotype with errors, decoys default
+    to shuffled flank sequence.
+
+    Returns {method: {"tp", "fp", "fn", "precision", "recall"}}.
+    """
+    import random as _random
+    from advntr_tpu.engine.simulate import haplotype_sequence, mutate
+    rng = _random.Random(seed)
+    copies = len(ref_vntr.get_repeat_segments())
+    hap = haplotype_sequence(ref_vntr.left_flanking_region,
+                             ref_vntr.pattern, copies,
+                             ref_vntr.right_flanking_region)
+    true_reads = []
+    lo = max(0, len(ref_vntr.left_flanking_region) - read_length + 4)
+    hi = max(lo + 1, len(hap) - read_length
+             - max(0, len(ref_vntr.right_flanking_region) - read_length + 4))
+    for _ in range(n_true):
+        start = rng.randint(lo, hi)
+        true_reads.append(mutate(hap[start:start + read_length],
+                                 error_rate, rng))
+    if decoys is None:
+        decoys = ["".join(rng.choice("ACGT") for _ in range(read_length))
+                  for _ in range(n_true)]
+    reads = true_reads + list(decoys)
+    true_idx = set(range(len(true_reads)))
+    out = {}
+    for name, recruit in methods.items():
+        sel = recruit(reads)
+        if sel and isinstance(next(iter(sel), None), (bool,)) \
+                or (hasattr(sel, "dtype") and getattr(sel, "dtype", None)
+                    is not None and str(sel.dtype) == "bool"):
+            sel_idx = {i for i, keep in enumerate(sel) if keep}
+        else:
+            sel_idx = set(int(i) for i in sel)
+        out[name] = recruitment_metrics(sel_idx, true_idx,
+                                        range(len(reads)))
+    return out
+
+
+def per_locus_accuracy_sweep(run_locus, loci, truth: dict):
+    """Per-locus accuracy table: ``run_locus(ref_vntr) -> (a, b) | None``
+    applied over ``loci``, diffed against ``truth`` — the per-locus sweep
+    the reference's plot.py builds its accuracy figures from."""
+    rows = []
+    for ref in loci:
+        want = truth.get(ref.id)
+        try:
+            got = run_locus(ref)
+            status = "ok" if got is not None and want is not None \
+                and tuple(sorted(got)) == tuple(sorted(want)) else "mismatch"
+        except Exception as err:       # per-locus isolation, like analyzer
+            got, status = None, f"error: {err}"
+        rows.append({"vid": ref.id, "expected": want, "called": got,
+                     "status": status})
+    n_ok = sum(1 for r in rows if r["status"] == "ok")
+    return {"rows": rows, "accuracy": n_ok / len(rows) if rows else 0.0}
+
+
 def consensus_of_units(units: list[str]) -> str:
     """Majority consensus of aligned repeat units."""
     from advntr_tpu.models.msa import center_star_msa

@@ -30,3 +30,51 @@ def test_consensus_and_report():
     assert cons == "ACGTAC"
     report = pairwise_alignment_report("ACCTAC", cons)
     assert "||" in report and "score:" in report
+
+
+def test_compare_recruitment_methods():
+    from advntr_tpu.engine.evaluation import compare_recruitment_methods
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+    import random
+    rng = random.Random(3)
+    ref = ReferenceVNTR(1, "CAGCAGCAG", 100, "chr1")
+    ref.repeat_segments = ["CAGCAGCAG"] * 4
+    ref.left_flanking_region = "".join(rng.choice("ACGT") for _ in range(200))
+    ref.right_flanking_region = "".join(rng.choice("ACGT") for _ in range(200))
+
+    def kmer_recruiter(reads):
+        # toy recruiter: any read sharing a 15-mer with the haplotype
+        hap = (ref.left_flanking_region + ref.pattern * 4
+               + ref.right_flanking_region)
+        kmers = {hap[i:i + 15] for i in range(len(hap) - 14)}
+        return [i for i, r in enumerate(reads)
+                if any(r[j:j + 15] in kmers for j in range(0, len(r) - 14, 5))]
+
+    def recruit_nothing(reads):
+        return []
+
+    out = compare_recruitment_methods(
+        ref, {"kmer": kmer_recruiter, "null": recruit_nothing},
+        n_true=40, read_length=100, seed=7)
+    assert out["kmer"]["recall"] > 0.9
+    assert out["kmer"]["precision"] > 0.9
+    assert out["null"]["recall"] == 0.0
+
+
+def test_per_locus_accuracy_sweep():
+    from advntr_tpu.engine.evaluation import per_locus_accuracy_sweep
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+    loci = [ReferenceVNTR(i, "CAG", 0, "chr1") for i in range(1, 4)]
+    truth = {1: (2, 3), 2: (4, 4), 3: (5, 6)}
+
+    def run_locus(ref):
+        if ref.id == 3:
+            raise RuntimeError("boom")
+        return {1: (3, 2), 2: (4, 5)}[ref.id]
+
+    sweep = per_locus_accuracy_sweep(run_locus, loci, truth)
+    statuses = {r["vid"]: r["status"] for r in sweep["rows"]}
+    assert statuses[1] == "ok"
+    assert statuses[2] == "mismatch"
+    assert statuses[3].startswith("error")
+    assert abs(sweep["accuracy"] - 1 / 3) < 1e-9

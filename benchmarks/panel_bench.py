@@ -31,9 +31,14 @@ def make_panel(n_loci: int):
     for i in range(n_loci):
         # Illumina-panel-sized loci: total VNTR length must fit inside one
         # read with flanks on both sides (the reference's Illumina panel is
-        # restricted to loci < 140bp, advntr_commands.py:38)
+        # restricted to loci < 140bp, advntr_commands.py:38).  Simulated
+        # alleles additionally leave >=20bp of flank anchor per side so a
+        # spanning read is physically observable at panel coverage — a
+        # 120bp allele vs 150bp reads yields ~1 spanning read at 30x and
+        # NO short-read method (the reference included) can call it
+        # (locus-1082 diagnosis, PERF_NOTES round 2)
         plen = rng.choice([8, 10, 12, 15, 20, 24])
-        max_copies = max(2, 120 // plen)
+        max_copies = max(2, (READ_LEN - 40) // plen)
         pattern = "".join(rng.choice("ACGT") for _ in range(plen))
         left = "".join(rng.choice("ACGT") for _ in range(300))
         right = "".join(rng.choice("ACGT") for _ in range(300))

@@ -274,7 +274,9 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM_ref, PB_ref, EMB_ref, Wd_ref,
         eI_x = e_all[:, P:2 * P]
         eI0_x = e_all[:, 2 * P:2 * P + nb]
         act = t < lengths                    # (B, 1)
-        is_first = t == 0
+        # t = i*T + tt is 0 only when tt == 0 (i == 0 checked dynamically);
+        # for tt > 0 the first-column selects vanish statically
+        is_first = (t == 0) if tt == 0 else None
 
         M, I, D = M_s[...], I_s[...], D_s[...]
         I0, hub, Do = I0_s[...], hub_s[...], Do_s[...]
@@ -299,13 +301,16 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM_ref, PB_ref, EMB_ref, Wd_ref,
                      hub + PB_ref[B_HUBI0, :][None, :], hubsent_b)
         I0n, OI0n = eI0_x + v, o
         # first column: start weights
-        Mn = jnp.where(is_first, PM_ref[R_MSTART, :][None, :] + eM_x, Mn)
-        In = jnp.where(is_first, PM_ref[R_ISTART, :][None, :] + eI_x, In)
-        I0n = jnp.where(is_first, PB_ref[B_I0START, :][None, :] + eI0_x,
-                        I0n)
-        OMn = jnp.where(is_first, neg1, OMn)
-        OIn = jnp.where(is_first, neg1, OIn)
-        OI0n = jnp.where(is_first, neg1, OI0n)
+        if is_first is not None:
+            Mn = jnp.where(is_first, PM_ref[R_MSTART, :][None, :] + eM_x,
+                           Mn)
+            In = jnp.where(is_first, PM_ref[R_ISTART, :][None, :] + eI_x,
+                           In)
+            I0n = jnp.where(is_first,
+                            PB_ref[B_I0START, :][None, :] + eI0_x, I0n)
+            OMn = jnp.where(is_first, neg1, OMn)
+            OIn = jnp.where(is_first, neg1, OIn)
+            OI0n = jnp.where(is_first, neg1, OI0n)
         # length freeze (column t only exists for reads with t < length)
         Mn = jnp.where(act, Mn, M)
         In = jnp.where(act, In, I)

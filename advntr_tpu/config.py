@@ -45,6 +45,11 @@ class Config:
     # Optional per-locus DNN recruitment models (reference: settings.py:39)
     dnn_models_dir: str = "dnn_models"
 
+    # Optional trained-HMM JSON cache (pomegranate format) — reference
+    # settings.py:9 USE_TRAINED_HMMS + TRAINED_HMMS_DIR, consumed at
+    # vntr_finder.py:117-138; None disables (the reference default)
+    trained_hmms_dir: str | None = None
+
     # Host-side parallelism for IO/pipelining
     io_threads: int = max(1, (os.cpu_count() or 2) - 1)
 

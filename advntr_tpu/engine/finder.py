@@ -329,10 +329,42 @@ class VNTRFinder:
 
     def get_model(self, read_length: int, copies: int | None = None,
                   flank_size: int | None = None):
+        trained = self._load_trained_hmm(read_length)
+        if trained is not None:
+            return trained
         copies = copies if copies is not None else self.get_copies_for_hmm(read_length)
         flank_size = flank_size if flank_size is not None else read_length
         return self.cache.get(self.reference_vntr, copies, flank_size,
                               self.config.max_error_rate)
+
+    def _load_trained_hmm(self, read_length: int):
+        """Per-(locus, read-length) pomegranate-JSON checkpoint, if a
+        trained-HMM cache dir is configured (reference
+        vntr_finder.py:117-138: <TRAINED_HMMS_DIR>/<vid>_<readlen>.json)."""
+        if not self.config.trained_hmms_dir:
+            return None
+        key = ("trained", self.reference_vntr.id, read_length)
+        cached = getattr(self, "_trained_cache", {})
+        if key in cached:
+            return cached[key]
+        path = os.path.join(self.config.trained_hmms_dir,
+                            f"{self.reference_vntr.id}_{read_length}.json")
+        lm = None
+        if os.path.exists(path):
+            from advntr_tpu.models.compiler import compile_graph
+            from advntr_tpu.models.hmm_json import load_trained_hmm
+            g = load_trained_hmm(path)
+            art = compile_graph(g)
+            try:
+                lm = self.cache._build(g, art)
+            except Exception:
+                # imported topology outside the struct extractor's shape:
+                # fall back to the dense kernel
+                lm = self.cache._build_from_payload(art, None)
+            logging.info("loaded trained HMM %s", path)
+        cached[key] = lm
+        self._trained_cache = cached
+        return lm
 
     def _load_dnn_model(self):
         """Per-locus DNN recruitment model, if trained

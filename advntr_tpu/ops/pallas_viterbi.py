@@ -266,10 +266,14 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM_ref, PB_ref, EMB_ref, Wd_ref,
         best_s[...] = jnp.full((B, 1), NEG, dtype=jnp.float32)
         bstate_s[...] = jnp.zeros((B, 1), dtype=jnp.float32)
 
+    # all T_BLK columns' emissions in ONE MXU op per grid step: the
+    # per-column (B,4)x(4,2P+nb) dots are K=4 latency-bound, so one
+    # (T·B,4)x(4,2P+nb) beats T small dependent ones
+    e_blk = _dot(seq1h_ref[...].reshape(T * B, 4), EMB_ref[...])
+
     for tt in range(T):
         t = i * T + tt
-        onehot = seq1h_ref[tt]               # (B, 4)
-        e_all = _dot(onehot, EMB_ref[...])   # (B, 2P+nb)
+        e_all = e_blk[tt * B:(tt + 1) * B]   # (B, 2P+nb)
         eM_x = e_all[:, :P]
         eI_x = e_all[:, P:2 * P]
         eI0_x = e_all[:, 2 * P:2 * P + nb]

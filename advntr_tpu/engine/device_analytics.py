@@ -222,13 +222,15 @@ def read_stats_struct_ckpt(struct_arrays, meta_arrays, seqs, lengths,
 @functools.partial(jax.jit, static_argnames=("return_path", "interpret"))
 def read_stats_pallas(pallas_arrays, meta_arrays, seqs, lengths,
                       return_path: bool = False, interpret: bool = False):
-    """Fused Viterbi + analytics via the Pallas provenance kernel."""
-    from advntr_tpu.ops.pallas_viterbi import viterbi_pallas_batch
-    logp, _, path = viterbi_pallas_batch(pallas_arrays, seqs, lengths,
-                                         return_path=True,
-                                         interpret=interpret)
-    return analytics_from_path(meta_arrays, logp, path, seqs, lengths,
-                               return_path=return_path)
+    """Fused Viterbi + traceback + analytics, all inside the Pallas
+    provenance kernel pair (meta_arrays unused: the kernel carries its own
+    struct-space metadata; kept for signature parity with the struct
+    path)."""
+    del meta_arrays
+    from advntr_tpu.ops.pallas_viterbi import viterbi_pallas_stats
+    return viterbi_pallas_stats(pallas_arrays, seqs, lengths,
+                                return_path=return_path,
+                                interpret=interpret)
 
 
 def flank_rates(stats: dict, accuracy_filter: bool = False) -> np.ndarray:
@@ -279,16 +281,13 @@ def read_stats_pallas_grouped(stacked_pallas, stacked_meta, seqs, lengths,
 
     stacked_pallas / stacked_meta: per-field stacks with a leading locus
     axis; seqs (G, B, L); lengths (G, B).  Returns dict of (G, B) arrays."""
-    from advntr_tpu.ops.pallas_viterbi import viterbi_pallas_batch
+    from advntr_tpu.ops.pallas_viterbi import viterbi_pallas_stats
+    del stacked_meta
     G = seqs.shape[0]
     outs = []
     for g in range(G):
         pallas_g = tuple(x[g] for x in stacked_pallas)
-        meta_g = tuple(x[g] for x in stacked_meta)
-        logp, _, path = viterbi_pallas_batch(pallas_g, seqs[g], lengths[g],
-                                             return_path=True,
-                                             interpret=interpret)
-        outs.append(analytics_from_path(meta_g, logp, path, seqs[g],
-                                        lengths[g],
-                                        return_path=return_path))
+        outs.append(viterbi_pallas_stats(pallas_g, seqs[g], lengths[g],
+                                         return_path=return_path,
+                                         interpret=interpret))
     return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}

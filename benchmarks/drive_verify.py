@@ -102,6 +102,27 @@ def main():
           f"{'OK' if not mismatch else 'MISMATCH ' + str(mismatch)}",
           flush=True)
 
+    # ---- sharded dispatch through shard_map on REAL hardware (1x1 mesh) --
+    # proves the Mosaic-lowered pallas kernel runs through the exact
+    # production sharded code path (parallel/mesh.py) on-chip; multi-chip
+    # runs the same code with a bigger mesh
+    from advntr_tpu.parallel.mesh import make_mesh, sharded_grouped_read_stats
+    mesh = make_mesh(n_loci=1, n_reads=1,
+                     devices=jax.devices()[:1])
+    stacked = tuple(jnp.stack([x]) for x in lm.pallas.flat())
+    stacked_meta = tuple(jnp.stack([x]) for x in lm.meta)
+    sh = sharded_grouped_read_stats(
+        mesh, stacked, stacked_meta, np.asarray(batch)[None],
+        np.asarray(lengths)[None], kernel="pallas")
+    sh_mis = [k for k in ("repeats", "n_matches", "repeat_bp")
+              if not np.array_equal(np.asarray(sh[k])[0],
+                                    np.asarray(out[k]))]
+    np.testing.assert_allclose(np.asarray(sh["logp"])[0], logp,
+                               rtol=1e-4, atol=1e-2)
+    print(f"sharded(1x1 mesh, shard_map, Mosaic): "
+          f"{'OK' if not sh_mis else 'MISMATCH ' + str(sh_mis)}",
+          flush=True)
+
     # ---- timing ----
     _ = np.asarray(run()["logp"])
     iters = 10
@@ -111,7 +132,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(f"fused: {B / dt:.0f} reads/s ({dt*1e3:.2f} ms)  "
           f"[target >100x of 650 cpu = 65000]", flush=True)
-    assert bad == 0 and not mismatch, "DRIVE FAILED"
+    assert bad == 0 and not mismatch and not sh_mis, "DRIVE FAILED"
     print("DRIVE OK")
 
 

@@ -2,20 +2,19 @@
 """Stage-by-stage timing of the Pallas fused pipeline on the real TPU.
 
 Times, per variant, reads/s at the bench shape (B=4096, CSTB-like locus):
-  score    — pallas_fused_forward, logp only materialized
-  planes   — forward + force full origin-plane materialization
-  path     — forward + pallas_backward (path materialized)
-  fused    — read_stats_pallas (forward + backward + analytics)
+  forward  — chunked pallas_fused_forward (planes written; logp synced)
+  backward — forward + pallas_backward_stats (stats synced)
+  fused    — read_stats_pallas (the production dict)
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python profile_pallas.py [B]
+Env: ADVNTR_TPU_CHUNK_B / ADVNTR_TPU_TBLK sweep the kernel geometry.
 """
 
+import functools
 import sys
 import time
 
 import numpy as np
-
-
-def sync(x):
-    return np.asarray(x)
 
 
 def timeit(fn, sync_out, iters=10):
@@ -38,73 +37,58 @@ def main():
     from advntr_tpu import dna
     from advntr_tpu.engine import device_analytics as da
     from advntr_tpu.engine.finder import LocusModelCache
+    import advntr_tpu.ops.pallas_viterbi as pv
 
-    read_length = 150
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    read_length = 150
     graph, art, left, right, pattern = build_locus(read_length)
     reads = simulate_reads(left, pattern, right, read_length, B)
     cache = LocusModelCache()
     lm = cache._build(graph, art)
-    pm_arrays = lm.pallas.flat()
+    pm = lm.pallas
+    assert pm is not None
+
     rows = [dna.encode(r) for r in reads]
     batch, lengths = dna.pad_batch(rows, pad_to=read_length, multiple=32)
-    batch_d = jnp.asarray(batch)
+    L = batch.shape[1]
+    L_pad = ((L + pv.T_BLK - 1) // pv.T_BLK) * pv.T_BLK
+    if L_pad != L:
+        batch = np.concatenate(
+            [batch, np.zeros((B, L_pad - L), batch.dtype)], axis=1)
+    chunk_b = pv._chunk_for(pm.PM2.shape[1] // 2)
+    nc = max(1, B // chunk_b)
+    cb = B // nc
+    seqs_c = jnp.asarray(batch).reshape(nc, cb, L_pad)
+    lengths_c = jnp.asarray(lengths).reshape(nc, cb)
     lengths_d = jnp.asarray(lengths)
-
-    from advntr_tpu.ops import pallas_viterbi as pv
-
-    chunk_b = pv._chunk_for(lm.pallas.PM.shape[1])
-    n_chunks = B // chunk_b
-    L_pad = batch_d.shape[1]
-    seqs_c = batch_d.reshape(n_chunks, chunk_b, L_pad)
-    lengths_c = lengths_d.reshape(n_chunks, chunk_b)
-
-    import functools
+    batch_d = jnp.asarray(batch)
 
     @jax.jit
-    def score_only(seqs_c, lengths_c):
-        pm = pv.PallasStructModel(*pm_arrays)
-        out = jax.vmap(lambda q, ln: pv.pallas_fused_forward(pm, q, ln)[0])(
-            seqs_c, lengths_c)
-        return out
+    def fwd_only(q, ln):
+        best, bstate, oMI, oXH = jax.vmap(
+            lambda s, l: pv.pallas_fused_forward(pm, s, l))(q, ln)
+        return best
 
     @jax.jit
-    def with_planes(seqs_c, lengths_c):
-        pm = pv.PallasStructModel(*pm_arrays)
-        out = jax.vmap(lambda q, ln: pv.pallas_fused_forward(pm, q, ln))(
-            seqs_c, lengths_c)
-        return out
-
-    @jax.jit
-    def with_path(seqs_c, lengths_c):
-        pm = pv.PallasStructModel(*pm_arrays)
-
-        def one(q, ln):
-            best, bstate, oM, oI, oI0, oHub = pv.pallas_fused_forward(
-                pm, q, ln)
-            path = pv.pallas_backward(ln, bstate, oM, oI, oI0, oHub)
-            return best, path
-
-        return jax.vmap(one)(seqs_c, lengths_c)
+    def fwd_bwd(q, ln, ln_flat):
+        best, bstate, oMI, oXH = jax.vmap(
+            lambda s, l: pv.pallas_fused_forward(pm, s, l))(q, ln)
+        path, stats = pv.pallas_backward_stats(
+            pm, ln_flat, bstate.reshape(-1), oMI, oXH)
+        return best, stats
 
     def fused():
-        return da.read_stats_pallas(pm_arrays, lm.meta, batch_d, lengths_d)
+        return da.read_stats_pallas(pm.flat(), lm.meta, batch_d, lengths_d)
 
-    t = timeit(lambda: score_only(seqs_c, lengths_c), lambda o: sync(o))
-    print(f"score-only: {B / t:12.0f} reads/s  ({t*1e3:.2f} ms)", flush=True)
-
-    t = timeit(lambda: with_planes(seqs_c, lengths_c),
-               lambda o: (sync(o[0]), sync(o[2])))
-    print(f"planes:     {B / t:12.0f} reads/s  ({t*1e3:.2f} ms)", flush=True)
-
-    t = timeit(lambda: with_path(seqs_c, lengths_c),
-               lambda o: (sync(o[0]), sync(o[1])))
-    print(f"path:       {B / t:12.0f} reads/s  ({t*1e3:.2f} ms)", flush=True)
-
-    t = timeit(fused, lambda o: sync(o["logp"]))
-    print(f"fused:      {B / t:12.0f} reads/s  ({t*1e3:.2f} ms)", flush=True)
-    print(f"# chunk_b={chunk_b} n_chunks={n_chunks} "
-          f"P={lm.pallas.PM.shape[1]} nb={lm.pallas.PB.shape[1]}")
+    dt = timeit(lambda: fwd_only(seqs_c, lengths_c),
+                lambda o: np.asarray(o))
+    print(f"forward : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms) "
+          f"nc={nc} cb={cb} T_BLK={pv.T_BLK}")
+    dt = timeit(lambda: fwd_bwd(seqs_c, lengths_c, lengths_d),
+                lambda o: (np.asarray(o[0]), np.asarray(o[1])))
+    print(f"fwd+bwd : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms)")
+    dt = timeit(fused, lambda o: np.asarray(o["logp"]))
+    print(f"fused   : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms)")
 
 
 if __name__ == "__main__":

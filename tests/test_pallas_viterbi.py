@@ -99,6 +99,79 @@ def _rand_seq(rng, n):
     return "".join(rng.choice("ACGT") for _ in range(n))
 
 
+@pytest.mark.parametrize("case", CASES)
+def test_fused_stats_kernel_matches_struct_dict(case):
+    """The in-traceback analytics (viterbi_pallas_stats) must equal the
+    struct kernel + XLA analytics_from_path on every dict key, including
+    the flank match counts that ride the packed match bit."""
+    from advntr_tpu.engine import device_analytics as da
+
+    art, sm, dev, pm = make(*case)
+    rows = [dna.encode(r) for r in READS]
+    batch, lengths = dna.pad_batch(rows, multiple=8)
+    batch, lengths = jnp.asarray(batch), jnp.asarray(lengths)
+    meta = (jnp.asarray(art.kind), jnp.asarray(art.region),
+            jnp.asarray(art.exp_base), jnp.asarray(art.unit))
+    ref = da.read_stats_struct(dev.flat(), meta, batch, lengths,
+                               sm.suffix_last, return_path=True)
+    out = da.read_stats_pallas(pm.flat(), meta, batch, lengths,
+                               return_path=True, interpret=True)
+    l1 = np.asarray(ref["logp"])
+    np.testing.assert_allclose(l1, np.asarray(out["logp"]),
+                               rtol=1e-4, atol=1e-2)
+    keep = l1 > -1e20
+    for k in ("repeats", "n_matches", "repeat_bp", "left_flank_bp",
+              "right_flank_bp", "left_flank_matches",
+              "right_flank_matches"):
+        np.testing.assert_array_equal(np.asarray(ref[k])[keep],
+                                      np.asarray(out[k])[keep], err_msg=k)
+    # decoded paths must rescore to the optimum (provenance walk parity)
+    path = np.asarray(out["path"])
+    for b, codes in enumerate(rows):
+        if not keep[b]:
+            continue
+        s = rescore(art, path[b][: len(codes)], codes)
+        assert s == pytest.approx(float(l1[b]), rel=1e-4, abs=1e-2)
+
+
+def test_fused_stats_kernel_multi_chunk():
+    """Chunked forward + full-batch backward: stats must be row-aligned
+    across chunk boundaries (B spanning several forward chunks)."""
+    import advntr_tpu.ops.pallas_viterbi as pv
+    from advntr_tpu.engine import device_analytics as da
+
+    art, sm, dev, pm = make(*CASES[0])
+    rng = random.Random(99)
+    reads = []
+    for _ in range(64):
+        hap = "ACGTTGCA" + "CAGCAG" * rng.randint(1, 5) + "TTACGGAT"
+        a = rng.randint(0, max(0, len(hap) - 12))
+        reads.append(hap[a:a + rng.randint(10, len(hap) - a)])
+    rows = [dna.encode(r) for r in reads]
+    batch, lengths = dna.pad_batch(rows, multiple=8)
+    batch, lengths = jnp.asarray(batch), jnp.asarray(lengths)
+    meta = (jnp.asarray(art.kind), jnp.asarray(art.region),
+            jnp.asarray(art.exp_base), jnp.asarray(art.unit))
+    ref = da.read_stats_struct(dev.flat(), meta, batch, lengths,
+                               sm.suffix_last)
+    old = pv.CHUNK_B
+    pv.CHUNK_B = 16   # force 4 forward chunks
+    try:
+        out = da.read_stats_pallas(pm.flat(), meta, batch, lengths,
+                                   interpret=True)
+    finally:
+        pv.CHUNK_B = old
+    l1 = np.asarray(ref["logp"])
+    np.testing.assert_allclose(l1, np.asarray(out["logp"]),
+                               rtol=1e-4, atol=1e-2)
+    keep = l1 > -1e20
+    for k in ("repeats", "n_matches", "repeat_bp", "left_flank_bp",
+              "right_flank_bp", "left_flank_matches",
+              "right_flank_matches"):
+        np.testing.assert_array_equal(np.asarray(ref[k])[keep],
+                                      np.asarray(out[k])[keep], err_msg=k)
+
+
 def test_engine_pallas_kernel_matches_struct(monkeypatch):
     """The engine's pallas path (ADVNTR_TPU_KERNEL=pallas, interpret on CPU)
     must produce the same scored stats as the struct path."""

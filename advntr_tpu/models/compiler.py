@@ -26,6 +26,7 @@ data-dependent control flow.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -154,65 +155,86 @@ def compile_graph(g: HmmGraph) -> ModelArtifact:
                       ).astype(np.int32)
     cross_us = (np.isfinite(W_es) * is_us[None, :]).astype(np.int16)
     cross_ue = (np.isfinite(W_es) * is_ue[None, :]).astype(np.int16)
-    for k in range(n_s):  # topo order
-        for (src, w) in ss_edges[k]:
-            cand = C[:, src] + w
-            better = cand > C[:, k]
-            if better.any():
-                C[better, k] = cand[better]
-                parent[better, k] = src
-                cross_us[better, k] = cross_us[better, src] + is_us[k]
-                cross_ue[better, k] = cross_ue[better, src] + is_ue[k]
-
-    # ---- start closure -----------------------------------------------------
     C0 = np.full(n_s, NEG)
     C0[start_s] = 0.0
     p0 = np.full(n_s, np.iinfo(np.int32).min, dtype=np.int32)
     p0[start_s] = -1
     c0_us = np.zeros(n_s, dtype=np.int16)
     c0_ue = np.zeros(n_s, dtype=np.int16)
-    for k in range(n_s):
-        for (src, w) in ss_edges[k]:
-            cand = C0[src] + w
-            if cand > C0[k]:
-                C0[k] = cand
-                p0[k] = src
-                c0_us[k] = c0_us[src] + is_us[k]
-                c0_ue[k] = c0_ue[src] + is_ue[k]
-
-    # ---- effective transition matrix --------------------------------------
     log_T = W_ee.copy()
     hop_choice = np.where(np.isfinite(W_ee), -1, -2).astype(np.int32)
     t_us = np.zeros((n_e, n_e), dtype=np.int16)
     t_ue = np.zeros((n_e, n_e), dtype=np.int16)
-    for k in range(n_s):
-        outs = np.nonzero(np.isfinite(W_se[k]))[0]
-        if outs.size == 0 or not np.isfinite(C[:, k]).any():
-            continue
-        for j in outs:
-            cand = C[:, k] + W_se[k, j]
-            better = cand > log_T[:, j]
-            if better.any():
-                log_T[better, j] = cand[better]
-                hop_choice[better, j] = k
-                t_us[better, j] = cross_us[better, k]
-                t_ue[better, j] = cross_ue[better, k]
-
-    # ---- effective start / end vectors ------------------------------------
     log_start = np.full(n_e, NEG)
     start_choice = np.full(n_e, -2, dtype=np.int32)
     s_us = np.zeros(n_e, dtype=np.int16)
     s_ue = np.zeros(n_e, dtype=np.int16)
-    for k in range(n_s):
-        if not np.isfinite(C0[k]):
-            continue
-        for j in np.nonzero(np.isfinite(W_se[k]))[0]:
-            cand = C0[k] + W_se[k, j]
-            if cand > log_start[j]:
-                log_start[j] = cand
-                start_choice[j] = k
-                s_us[j] = c0_us[k]
-                s_ue[j] = c0_ue[k]
+
+    lib = None
+    if os.environ.get("ADVNTR_TPU_NO_NATIVE", "0") != "1":
+        try:
+            from advntr_tpu.native_bridge import load_closure
+            lib = load_closure()
+        except Exception:
+            lib = None
+    if lib is not None:
+        # native path: identical loop semantics (strict >, first-wins,
+        # crossings along the argmax path) as flat C loops
+        ss_count = np.zeros(n_s + 1, dtype=np.int32)
+        ss_src, ss_w = [], []
+        for k in range(n_s):
+            ss_count[k + 1] = ss_count[k] + len(ss_edges[k])
+            for (src, w) in ss_edges[k]:
+                ss_src.append(src)
+                ss_w.append(w)
+        lib.model_closure(
+            n_e, n_s, ss_count,
+            np.asarray(ss_src, dtype=np.int32),
+            np.asarray(ss_w, dtype=np.float64),
+            is_us, is_ue, np.ascontiguousarray(W_se),
+            C, parent, cross_us, cross_ue,
+            C0, p0, c0_us, c0_ue,
+            log_T, hop_choice, t_us, t_ue,
+            log_start, start_choice, s_us, s_ue)
+    else:
+        for k in range(n_s):  # topo order
+            for (src, w) in ss_edges[k]:
+                cand = C[:, src] + w
+                better = cand > C[:, k]
+                if better.any():
+                    C[better, k] = cand[better]
+                    parent[better, k] = src
+                    cross_us[better, k] = cross_us[better, src] + is_us[k]
+                    cross_ue[better, k] = cross_ue[better, src] + is_ue[k]
+                cand0 = C0[src] + w
+                if cand0 > C0[k]:
+                    C0[k] = cand0
+                    p0[k] = src
+                    c0_us[k] = c0_us[src] + is_us[k]
+                    c0_ue[k] = c0_ue[src] + is_ue[k]
+
+        # ---- effective transition matrix + start vector --------------------
+        for k in range(n_s):
+            outs = np.nonzero(np.isfinite(W_se[k]))[0]
+            if outs.size == 0:
+                continue
+            if np.isfinite(C[:, k]).any():
+                for j in outs:
+                    cand = C[:, k] + W_se[k, j]
+                    better = cand > log_T[:, j]
+                    if better.any():
+                        log_T[better, j] = cand[better]
+                        hop_choice[better, j] = k
+                        t_us[better, j] = cross_us[better, k]
+                        t_ue[better, j] = cross_ue[better, k]
+            if np.isfinite(C0[k]):
+                for j in outs:
+                    cand0 = C0[k] + W_se[k, j]
+                    if cand0 > log_start[j]:
+                        log_start[j] = cand0
+                        start_choice[j] = k
+                        s_us[j] = c0_us[k]
+                        s_ue[j] = c0_ue[k]
 
     log_end = C[:, end_s].copy()
     e_us = cross_us[:, end_s].copy()

@@ -21,6 +21,44 @@ _SO = os.path.join(_NATIVE_DIR, "libviterbi_sparse.so")
 
 _lib = None
 
+_CLOSURE_SRC = os.path.join(_NATIVE_DIR, "model_closure.cc")
+_CLOSURE_SO = os.path.join(_NATIVE_DIR, "libmodel_closure.so")
+
+_closure_lib = None
+
+
+def load_closure():
+    """Load (building on first use) the native silent-closure kernel used
+    by models/compiler.compile_graph.  Raises on toolchain failure; the
+    caller falls back to the numpy loops."""
+    global _closure_lib
+    if _closure_lib is not None:
+        return _closure_lib
+    if (not os.path.exists(_CLOSURE_SO)
+            or os.path.getmtime(_CLOSURE_SO)
+            < os.path.getmtime(_CLOSURE_SRC)):
+        subprocess.check_call(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             _CLOSURE_SRC, "-o", _CLOSURE_SO])
+    lib = ctypes.CDLL(_CLOSURE_SO)
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.model_closure.restype = None
+    lib.model_closure.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        i32, i32, f64,          # ss_count, ss_src, ss_w
+        i8, i8,                 # is_us, is_ue
+        f64,                    # W_se
+        f64, i32, i16, i16,     # C, parent, cross_us, cross_ue
+        f64, i32, i16, i16,     # C0, p0, c0_us, c0_ue
+        f64, i32, i16, i16,     # log_T, hop_choice, t_us, t_ue
+        f64, i32, i16, i16,     # log_start, start_choice, s_us, s_ue
+    ]
+    _closure_lib = lib
+    return lib
+
 
 def _load():
     global _lib

@@ -90,6 +90,25 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-vid", "--vntr_id", type=str, default=None)
     d.add_argument("-m", "--models", type=str, default=None)
 
+    b = sub.add_parser(
+        "buildbank",
+        help="precompile the locus model bank offline so genotyping runs "
+             "start warm (the TPU-native analog of the reference's "
+             "per-(locus, read-length) trained-HMM JSON cache, "
+             "advntr/vntr_finder.py:117-138)")
+    b.add_argument("-m", "--models", type=str, metavar="<file>", default=None)
+    b.add_argument("--working_directory", type=str, metavar="<path>",
+                   required=True,
+                   help="bank is written to <working_directory>/model_bank")
+    b.add_argument("-l", "--read_length", type=int, metavar="<int>",
+                   default=150)
+    b.add_argument("-p", "--pacbio", action="store_true")
+    b.add_argument("-n", "--nanopore", action="store_true")
+    b.add_argument("-t", "--threads", type=int, metavar="<int>", default=0,
+                   help="worker processes (default: all cores)")
+    b.add_argument("-vid", "--vntr_id", type=str, metavar="<text>",
+                   default=None, help="comma-separated list of VNTR IDs")
+
     return parser
 
 
@@ -208,6 +227,64 @@ def del_model(args) -> None:
     delete_vntr_from_database(int(args.vntr_id), models_file)
 
 
+def build_bank(args) -> None:
+    """Offline model-bank construction: all host-side compilation (profile
+    estimation, graph build, silent-state closure, structured extraction)
+    runs once here across worker processes; subsequent genotype runs with
+    the same --working_directory start warm."""
+    import concurrent.futures
+    import math
+    import time
+
+    from advntr_tpu.engine.finder import (bank_payload_path,
+                                          build_and_save_payload)
+    from advntr_tpu.models.db import load_unique_vntrs_data
+
+    config = Config().with_platform(args.pacbio, args.nanopore)
+    models_file = args.models
+    if models_file is None:
+        models_file = DEFAULT_PACBIO_DB if args.pacbio else DEFAULT_ILLUMINA_DB
+    bank_dir = os.path.join(args.working_directory, "model_bank")
+    os.makedirs(bank_dir, exist_ok=True)
+    reference_vntrs = load_unique_vntrs_data(models_file)
+    if args.vntr_id is not None:
+        targets = {int(v) for v in args.vntr_id.split(",")}
+        reference_vntrs = [r for r in reference_vntrs if r.id in targets]
+    read_length = args.read_length
+    jobs = []
+    for ref in reference_vntrs:
+        # same (copies, flank, error) key the analyzer computes at runtime
+        # (finder.get_copies_for_hmm / get_model)
+        copies = int(round(read_length / len(ref.pattern) + 0.5))
+        path = bank_payload_path(bank_dir, ref.id, copies, read_length,
+                                 config.max_error_rate)
+        if not os.path.exists(path):
+            jobs.append((ref, copies, read_length, config.max_error_rate,
+                         path))
+    workers = args.threads if args.threads and args.threads > 0 \
+        else (os.cpu_count() or 2)
+    print("buildbank: %d loci to compile (%d already banked), %d workers"
+          % (len(jobs), len(reference_vntrs) - len(jobs), workers))
+    t0 = time.perf_counter()
+    done = 0
+    if jobs:
+        with concurrent.futures.ProcessPoolExecutor(workers) as pool:
+            futs = [pool.submit(build_and_save_payload, *job)
+                    for job in jobs]
+            tick = max(1, math.ceil(len(futs) / 20))
+            for fut in concurrent.futures.as_completed(futs):
+                fut.result()
+                done += 1
+                if done % tick == 0 or done == len(futs):
+                    dt = time.perf_counter() - t0
+                    print("  %d/%d built (%.1fs, %.0f loci/min)"
+                          % (done, len(futs), dt, done / dt * 60),
+                          flush=True)
+    dt = time.perf_counter() - t0
+    print("buildbank: %d loci compiled in %.1fs -> %s"
+          % (done, dt, bank_dir))
+
+
 def main(argv=None) -> None:
     from advntr_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -221,6 +298,8 @@ def main(argv=None) -> None:
         add_model(args)
     elif args.command == "delmodel":
         del_model(args)
+    elif args.command == "buildbank":
+        build_bank(args)
     else:
         parser.error("Please specify a valid command")
 

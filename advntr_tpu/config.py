@@ -39,6 +39,12 @@ class Config:
     accuracy_filter_min_right_flanking_size: int = 10
     accuracy_filter_sr_min_support: int = 3
 
+    # Homology-aware spanning guard: raise per-side flank-bp minima to the
+    # flank<->pattern homology run so tract-continuing flank matches never
+    # count as spanning evidence.  No-op at non-homologous loci; set False
+    # for strict reference-default gate parity (engine/finder.py:__init__).
+    spanning_homology_guard: bool = True
+
     # Model DB paths (reference: settings.py:10-13)
     models_file: str = "vntr_data/hg19_selected_VNTRs_Illumina.db"
 

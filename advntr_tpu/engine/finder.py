@@ -114,6 +114,32 @@ def build_locus_payload(ref_vntr, copies: int, flank_size: int,
     return art, sm
 
 
+def bank_payload_path(bank_dir: str, vid, copies: int, flank_size: int,
+                      error_rate: float) -> str:
+    """Canonical per-locus bank filename (shared by LocusModelCache and the
+    offline ``buildbank`` CLI so banks are reusable across runs and across
+    ``--models`` paths: the key is locus parameters, not the DB file)."""
+    return os.path.join(bank_dir, "model_%s_%s_%s_%s.pkl.gz"
+                        % (vid, copies, flank_size, error_rate))
+
+
+def build_and_save_payload(ref_vntr, copies: int, flank_size: int,
+                           error_rate: float, path: str) -> str:
+    """Worker for offline bank construction: build one locus payload and
+    atomically publish it (tmp + rename so concurrent builders and readers
+    never see a torn pickle)."""
+    import gzip
+    import pickle
+    if os.path.exists(path):
+        return path
+    payload = build_locus_payload(ref_vntr, copies, flank_size, error_rate)
+    tmp = "%s.tmp.%d" % (path, os.getpid())
+    with gzip.open(tmp, "wb", compresslevel=1) as fh:
+        pickle.dump(payload, fh)
+    os.replace(tmp, path)
+    return path
+
+
 class LocusModelCache:
     """Per-(locus, read-length-bucket) compiled model cache.
 
@@ -153,13 +179,11 @@ class LocusModelCache:
                 _default_kernel())
 
     def _bank_path(self, key):
-        import os
         if not self.bank_dir:
             return None
         # bank payloads are kernel-independent (numpy artifact + struct
         # model); the kernel component is dropped from the filename
-        return os.path.join(self.bank_dir,
-                            "model_%s_%s_%s_%s.pkl.gz" % key[:4])
+        return bank_payload_path(self.bank_dir, *key[:4])
 
     def schedule(self, ref_vntr, copies: int, flank_size: int,
                  error_rate: float) -> None:
@@ -299,6 +323,36 @@ def _pad_artifact(art, n_pad: int):
 _GLOBAL_MODEL_CACHE = LocusModelCache()
 
 
+def flank_pattern_homology(pattern: str, left_flank: str,
+                           right_flank: str) -> tuple[int, int]:
+    """(left, right) homology runs between the flanks and the repeat.
+
+    right = the longest prefix of the right flank that continues some
+    rotation of the pattern (a read ending mid-unit continues the tract at
+    an arbitrary rotation); left = the symmetric longest flank suffix that
+    precedes some rotation.  Bounded by the flank length scanned."""
+    if not pattern:
+        return 0, 0
+    p = len(pattern)
+    best_r = 0
+    for r in range(p):
+        tiled = (pattern[r:] + pattern * (len(right_flank) // p + 1))
+        k = 0
+        while k < len(right_flank) and right_flank[k] == tiled[k]:
+            k += 1
+        best_r = max(best_r, k)
+    best_l = 0
+    rev_f = left_flank[::-1]
+    rev_p = pattern[::-1]
+    for r in range(p):
+        tiled = (rev_p[r:] + rev_p * (len(left_flank) // p + 1))
+        k = 0
+        while k < len(rev_f) and rev_f[k] == tiled[k]:
+            k += 1
+        best_l = max(best_l, k)
+    return best_l, best_r
+
+
 class VNTRFinder:
     """Find the VNTR genotype of one locus in a pool of candidate reads."""
 
@@ -318,6 +372,24 @@ class VNTRFinder:
         self.minimum_flanking_size = 5
         self.minimum_left_flanking_size = 5
         self.minimum_right_flanking_size = 5
+        if config.spanning_homology_guard:
+            # flank bp that continues the repeat pattern verbatim is
+            # indistinguishable from tract sequence, so it carries zero
+            # spanning evidence: raise each side's flank-bp minimum to at
+            # least the flank<->pattern homology run.  At loci whose flank
+            # shares no prefix/suffix with the pattern this is a no-op
+            # (reference behavior unchanged); at homologous loci it stops
+            # mid-tract reads from masquerading as spanning (the reference
+            # has the same failure mode and only its --accuracy_filter
+            # flank minima of 10, settings.py:42-43, paper over it).
+            lh, rh = flank_pattern_homology(
+                reference_vntr.pattern,
+                reference_vntr.left_flanking_region,
+                reference_vntr.right_flanking_region)
+            self.minimum_left_flanking_size = max(
+                self.minimum_left_flanking_size, lh)
+            self.minimum_right_flanking_size = max(
+                self.minimum_right_flanking_size, rh)
         self.vntr_start = reference_vntr.start_point
         self.vntr_end = self.vntr_start + reference_vntr.get_length()
 

@@ -104,3 +104,33 @@ def test_vcf_output(workspace):
 def test_vntr_id_selection(workspace):
     text = run_cli(workspace, ["-vid", "301645"], "out2.txt")
     assert "2/5" in text
+
+
+def test_buildbank_precompiles_and_reused(workspace, tmp_path, monkeypatch):
+    """`buildbank` writes the per-locus payload bank; a subsequent
+    genotyping run with the same working directory must start warm (no
+    in-process host model builds)."""
+    wd = str(tmp_path)
+    cli.main(["buildbank", "-m", workspace["db"], "--working_directory",
+              wd, "-l", str(READ_LEN), "-t", "1"])
+    bank = os.path.join(wd, "model_bank")
+    files = os.listdir(bank)
+    assert len(files) == 1 and files[0].startswith("model_301645_")
+
+    # rerun is a no-op (all banked)
+    cli.main(["buildbank", "-m", workspace["db"], "--working_directory",
+              wd, "-l", str(READ_LEN), "-t", "1"])
+    assert os.listdir(bank) == files
+
+    # genotype run must consume the bank instead of building
+    import advntr_tpu.engine.finder as fmod
+
+    def boom(*a, **k):
+        raise AssertionError("host model build ran despite warm bank")
+
+    monkeypatch.setattr(fmod, "build_locus_payload", boom)
+    out = os.path.join(wd, "warm.txt")
+    cli.main(["genotype", "-a", workspace["bam"], "-m", workspace["db"],
+              "--working_directory", wd, "--disable_logging", "-o", out])
+    with open(out) as fh:
+        assert fh.read().splitlines() == ["301645", "2/5"]

@@ -36,3 +36,42 @@ def test_frameshift_vectors():
     for obs, want in [(14, True), (18, True), (7, True), (3, True),
                       (2, False), (1, False), (0, False)]:
         assert identify_frameshift(cov, obs, expected) is want, obs
+
+
+# ---------------------------------------------------------------------------
+# homology-aware spanning guard (round-3 accuracy fix: locus-5013 class)
+# ---------------------------------------------------------------------------
+
+def test_flank_pattern_homology_runs():
+    from advntr_tpu.engine.finder import flank_pattern_homology
+    # right flank continues the pattern's first 6bp (any rotation counts)
+    l, r = flank_pattern_homology("TCGTCCAAGT", "AAAAGCGAAC",
+                                  "TCGTCCGGGA")
+    assert r == 6
+    assert l <= 2
+    # rotation: flank continues from mid-pattern
+    l, r = flank_pattern_homology("TCGTCCAAGT", "CCCCCCCCCC",
+                                  "AAGTTCGTAA")
+    assert r == 8  # AAGT + TCGT = rotation starting at offset 6
+    # no homology -> zero (guard is a no-op)
+    l, r = flank_pattern_homology("ACAT", "GGGG", "GGGG")
+    assert (l, r) == (0, 0)
+    # left side: flank suffix precedes the tract
+    l, r = flank_pattern_homology("TCGTCCAAGT", "GGGGTCGTCCAAGT", "GGGG")
+    assert l == 10
+
+
+def test_spanning_homology_guard_raises_minima():
+    from advntr_tpu.config import Config
+    from advntr_tpu.engine.finder import VNTRFinder
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    ref = ReferenceVNTR(9001, "TCGTCCAAGT", 1000, "chr1")
+    ref.repeat_segments = ["TCGTCCAAGT"] * 4
+    ref.left_flanking_region = "A" * 20 + "GCGAAC"
+    ref.right_flanking_region = "TCGTCCGG" + "A" * 20
+    f = VNTRFinder(ref, Config())
+    assert f.minimum_right_flanking_size == 6   # homology run
+    assert f.minimum_left_flanking_size == 5    # unchanged default
+    f2 = VNTRFinder(ref, Config(spanning_homology_guard=False))
+    assert f2.minimum_right_flanking_size == 5  # strict reference parity

@@ -23,8 +23,21 @@ def keywords_for_locus(ref_vntr, short_reads: bool = True,
     queries = [locus[i:i + keyword_size]
                for i in range(0, len(locus) - keyword_size + 1, step_size)]
     if not short_reads:
-        queries = [ref_vntr.left_flanking_region[-80:],
-                   ref_vntr.right_flanking_region[:80]]
+        # Long reads: the reference emits the two raw 80bp flank probes
+        # (vntr_finder.py:151-152) — but its filter still demands >= 5
+        # keyword OCCURRENCES per read (filtering/main.cc:17,282), which
+        # two single-occurrence exact 80-mers can never satisfy, and any
+        # realistic long-read error rate breaks exact 80bp matches anyway:
+        # that configuration recruits nothing.  TPU-native redesign: sample
+        # the same flank probes into stepped 15-mers so a noisy long read
+        # overlapping a flank accumulates several exact short hits through
+        # the one batched counting kernel (no host re-verification pass).
+        k = 15
+        probes = [ref_vntr.left_flanking_region[-80:],
+                  ref_vntr.right_flanking_region[:80]]
+        queries = [p[i:i + k]
+                   for p in probes
+                   for i in range(0, max(1, len(p) - k + 1), 5)]
     return set(queries)
 
 

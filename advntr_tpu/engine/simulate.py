@@ -85,3 +85,59 @@ def simulate_diploid_reads(left_flank: str, pattern: str,
             counts[h] += 1
     rng.shuffle(reads)
     return reads, counts[0], counts[1]
+
+
+def mutate_with_indels(seq: str, sub_rate: float, ins_rate: float,
+                       del_rate: float, rng: random.Random) -> str:
+    """Long-read error model: per-base substitution / insertion / deletion
+    (PacBio CLR-style noise; the reference models it with
+    MAX_ERROR_RATE=0.3 on the HMM side, advntr_commands.py:66-71)."""
+    out = []
+    for ch in seq:
+        r = rng.random()
+        if r < del_rate:
+            continue
+        if r < del_rate + ins_rate:
+            out.append(ch)
+            out.append(ALPHABET[rng.randint(0, 3)])
+            continue
+        if r < del_rate + ins_rate + sub_rate:
+            out.append(ALPHABET[rng.randint(0, 3)])
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def simulate_pacbio_reads(left_flank: str, pattern: str,
+                          copies_a: int, copies_b: int, right_flank: str,
+                          read_length: int = 3000, coverage: float = 10,
+                          sub_rate: float = 0.01, ins_rate: float = 0.04,
+                          del_rate: float = 0.04, seed: int = 0):
+    """Sample multi-kb noisy reads over two haplotypes.
+
+    Each haplotype contributes coverage/2 read depth; read windows are
+    uniform over the haplotype, so reads spanning the VNTR (what the
+    PacBio pipeline consumes after flank anchoring) appear at the natural
+    rate.  Returns (reads, n_a, n_b) with reads = [(name, sequence)].
+    """
+    rng = random.Random(seed)
+    reads = []
+    counts = [0, 0]
+    for h, copies in enumerate((copies_a, copies_b)):
+        hap = haplotype_sequence(left_flank, pattern, copies, right_flank)
+        span = max(len(hap), read_length)
+        n_reads = max(1, int(round(span * coverage / 2 / read_length)))
+        for k in range(n_reads):
+            start = rng.randint(-(read_length - 1), len(hap) - 1)
+            window = hap[max(0, start):start + read_length]
+            seq = mutate_with_indels(window, sub_rate, ins_rate, del_rate,
+                                     rng)
+            if len(seq) < 30:
+                continue
+            if rng.random() < 0.5:
+                from advntr_tpu import dna
+                seq = dna.revcomp(seq)
+            reads.append((f"hap{h}_lr{k}", seq))
+            counts[h] += 1
+    rng.shuffle(reads)
+    return reads, counts[0], counts[1]

@@ -56,7 +56,12 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
                                 return_path: bool = True,
                                 segment: int = 512):
     """Two-pass struct Viterbi: same contract as viterbi_struct_batch,
-    O(K·B·P + (L/K)·B·P) plane memory instead of O(L·B·P)."""
+    O(K·B·P + (L/K)·B·P) plane memory instead of O(L·B·P).
+
+    Both passes are a single ``lax.scan`` over segments (inner scan over
+    the K columns of each segment), so the compiled program size is
+    independent of the number of segments — the round-2 version unrolled a
+    host loop per segment and paid ~110s compiles at PacBio shapes."""
     m = StructDeviceModel(*model_arrays)
     B, L = seqs.shape
     seqs = seqs.astype(jnp.int32)
@@ -68,25 +73,44 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
     carry0 = initial_column(m, suffix_last, eM_x[0], eI_x[0], eI0_x[0])
 
     n_steps = L - 1
-    K = max(1, min(segment, max(n_steps, 1)))
-    bounds = list(range(0, n_steps, K))          # step offsets per segment
+    if n_steps == 0:
+        _, _, _, _, _, best = carry0
+        if not return_path:
+            return best, None, None
+        Mf, If, I0f = carry0[0], carry0[1], carry0[2]
+        final_plane = struct_plane(Mf, If, I0f)
+        end_state_s = jnp.argmax(final_plane + m.log_end_struct[None, :],
+                                 axis=1).astype(jnp.int32)
+        path = jnp.take(m.struct_to_art, end_state_s[:, None])
+        return best, jnp.take(m.struct_to_art, end_state_s), path
 
-    def seg_inputs(s0):
-        s1 = min(s0 + K, n_steps)
-        ems = (eM_x[1 + s0:1 + s1], eI_x[1 + s0:1 + s1],
-               eI0_x[1 + s0:1 + s1])
-        ts = jnp.arange(1 + s0, 1 + s1, dtype=jnp.int32)
-        return ems, ts, s1
+    K = max(1, min(segment, n_steps))
+    n_seg = -(-n_steps // K)
+    pad = n_seg * K - n_steps
+
+    def seg_stack(x, fill):
+        # (n_steps, B, ...) -> (n_seg, K, B, ...); padded columns carry
+        # t >= L so the length freeze makes them no-ops for every read
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+        return x.reshape((n_seg, K) + x.shape[1:])
+
+    ems_seg = (seg_stack(eM_x[1:], 0.0), seg_stack(eI_x[1:], 0.0),
+               seg_stack(eI0_x[1:], 0.0))
+    ts_all = jnp.arange(1, n_seg * K + 1, dtype=jnp.int32)
+    ts_seg = ts_all.reshape(n_seg, K)
 
     # ---- pass 1: forward, checkpoint segment-entry carries ---------------
-    checkpoints = []
-    carry = carry0
-    for s0 in bounds:
-        checkpoints.append(carry)
-        ems, ts, _ = seg_inputs(s0)
-        carry, _ = _forward_segment(m, suffix_last, lengths, carry, ems,
-                                    ts, store_planes=False)
-    Mf, If, I0f, _, _, best = carry
+    def seg_fwd(carry, xs):
+        ems, ts = xs[:3], xs[3]
+        new_carry, _ = _forward_segment(m, suffix_last, lengths, carry,
+                                        ems, ts, store_planes=False)
+        return new_carry, carry          # emit the ENTRY carry
+
+    carry_f, checkpoints = jax.lax.scan(seg_fwd, carry0,
+                                        ems_seg + (ts_seg,))
+    Mf, If, I0f, _, _, best = carry_f
     if not return_path:
         return best, None, None
 
@@ -94,7 +118,7 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
     end_state_s = jnp.argmax(final_plane + m.log_end_struct[None, :],
                              axis=1).astype(jnp.int32)
 
-    # ---- pass 2: per segment (reverse): recompute planes, walk back ------
+    # ---- pass 2: reverse scan over segments: recompute planes, walk back -
     def back_step(cur, inputs):
         v_prev, t = inputs
         prev = jnp.argmax(v_prev + jnp.take(m.log_T_struct_t, cur, axis=0),
@@ -102,22 +126,20 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
         new_cur = jnp.where(t <= lengths - 1, prev, cur)
         return new_cur, cur
 
-    cur = end_state_s
-    seg_paths = []
-    for idx in range(len(bounds) - 1, -1, -1):
-        s0 = bounds[idx]
-        ems, ts, s1 = seg_inputs(s0)
-        _, v_planes = _forward_segment(m, suffix_last, lengths,
-                                       checkpoints[idx], ems, ts,
-                                       store_planes=True)
-        ts_rev = jnp.arange(s1, s0, -1, dtype=jnp.int32)
-        cur, emitted = jax.lax.scan(back_step, cur,
-                                    (v_planes[::-1], ts_rev))
-        seg_paths.append(emitted[::-1].T)        # (B, s1-s0)
-    if n_steps:
-        path_s = jnp.concatenate([cur[:, None]] + seg_paths[::-1], axis=1)
-    else:
-        path_s = end_state_s[:, None]
+    def seg_bwd(cur, xs):
+        ckpt, ems, ts = xs[0], xs[1:4], xs[4]
+        _, v_planes = _forward_segment(m, suffix_last, lengths, ckpt,
+                                       ems, ts, store_planes=True)
+        # reverse inner scan: ys[i] stays aligned with column ts[i]
+        cur, emitted = jax.lax.scan(back_step, cur, (v_planes, ts),
+                                    reverse=True)
+        return cur, emitted              # (K, B) forward-ordered
+
+    cur_final, seg_paths = jax.lax.scan(
+        seg_bwd, end_state_s, (checkpoints,) + ems_seg + (ts_seg,),
+        reverse=True)
+    flat = seg_paths.reshape(n_seg * K, B)[:n_steps]       # (n_steps, B)
+    path_s = jnp.concatenate([cur_final[:, None], flat.T], axis=1)
     path_s = jnp.where((lengths == 1)[:, None],
                        jnp.broadcast_to(end_state_s[:, None], path_s.shape),
                        path_s)

@@ -328,7 +328,7 @@ class GenomeAnalyzer:
     def find_repeat_counts_from_alignment_file(self, alignment_file: str,
                                                accuracy_filter: bool = False,
                                                average_coverage=None,
-                                               update: bool = False) -> None:
+                                               update: bool = False) -> dict:
         import json
         if average_coverage:
             self._attach_coverage_corrector(alignment_file)
@@ -366,6 +366,7 @@ class GenomeAnalyzer:
         from advntr_tpu.utils.profiler import stage_summary
         logging.info(stage_summary())
         self._emit_header()
+        records = {}
         for vid in self.target_vntr_ids:
             if vid in results:
                 result, err = results[vid]
@@ -377,7 +378,11 @@ class GenomeAnalyzer:
                     rec["recruited"], rec["spanning"], rec["flanking"],
                     rec["ml"])
                 err = rec["error"]
+            records[vid] = self._checkpoint_record(vid, result, err)
             self.print_genotype(vid, result, encountered_error=err)
+        # structured per-locus records: the distributed gather merges these
+        # (never the rendered text/BED/VCF stream, which is display-only)
+        return records
 
     def _genotype_loci_grouped(self, bam, unmapped_by_vid, read_length,
                                accuracy_filter, average_coverage, update,

@@ -80,7 +80,14 @@ def gather_results(local_results: dict, process_id: int,
 def run_sharded_panel(ref_vntrs, target_vntr_ids, alignment_file: str,
                       working_dir: str, config, process_id: int = 0,
                       num_processes: int = 1, outfmt: str = "text"):
-    """Genotype this host's locus shard and gather to host 0."""
+    """Genotype this host's locus shard and gather to host 0.
+
+    The gather merges the analyzer's STRUCTURED per-locus records
+    (vid -> {copy_numbers, recruited, spanning, flanking, ml, error}) —
+    never the rendered output stream, which stays display-only.  This
+    makes every ``outfmt`` mergeable and immune to multi-line or error-row
+    formats (an earlier stdout line-pair zip silently mispaired those).
+    Returns host 0's merged {vid: record} dict, None on other hosts."""
     import io
     from advntr_tpu.engine.analyzer import GenomeAnalyzer
     my_loci = shard_loci(list(target_vntr_ids), process_id, num_processes)
@@ -88,9 +95,6 @@ def run_sharded_panel(ref_vntrs, target_vntr_ids, alignment_file: str,
     analyzer = GenomeAnalyzer(ref_vntrs, my_loci, working_dir, outfmt,
                               config=config, input_file=alignment_file,
                               out=out)
-    analyzer.find_repeat_counts_from_alignment_file(alignment_file)
-    lines = out.getvalue().strip().splitlines()
-    local = dict(zip(lines[0::2], lines[1::2])) if outfmt == "text" else {
-        "raw": out.getvalue()}
-    return gather_results(local, process_id, num_processes,
+    records = analyzer.find_repeat_counts_from_alignment_file(alignment_file)
+    return gather_results(records, process_id, num_processes,
                           working_dir + "/shards")

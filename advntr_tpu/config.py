@@ -33,6 +33,10 @@ class Config:
 
     # Frameshift (reference: settings.py:36)
     frameshift_vntrs: tuple[int, ...] = (25561, 519759)
+    # Report forward-backward posterior indel support alongside the binomial
+    # LR call (ops/posterior.py; a TPU-native capability beyond the
+    # reference's Viterbi-path count, vntr_finder.py:256-309)
+    frameshift_posterior: bool = True
 
     # Accuracy filter minima (reference: settings.py:42-44)
     accuracy_filter_min_left_flanking_size: int = 10

@@ -113,6 +113,53 @@ def compare_recruitment_methods(ref_vntr, methods: dict, n_true: int = 100,
     return out
 
 
+def mutated_reference_sweep(ref_vntr, chromosome_seq: str, desired_counts,
+                            coverage: int = 30, read_length: int = 150,
+                            error_rate: float = 0.003,
+                            flank: int | None = None, config=None,
+                            seed: int = 0, finder=None):
+    """End-to-end validation loop: edit the reference's repeat count →
+    simulate reads from the edited haplotype → genotype with the ORIGINAL
+    locus model → compare against the edited truth.
+
+    This is the reference's mutated-reference validation workflow
+    (advntr/reference_editor.py:66-97 builds the edited FASTAs whose
+    simulated datasets feed plot.py-style accuracy sweeps) connected into
+    one programmatic utility.  Returns {"rows": [...], "comparison":
+    GenotypeComparison} where each row records the desired count, the
+    called genotype and the evidence counts.
+    """
+    import random as _random
+    from advntr_tpu.config import Config
+    from advntr_tpu.engine.finder import VNTRFinder
+    from advntr_tpu.engine.reference_editor import reference_with_repeat_count
+    from advntr_tpu.engine.simulate import mutate
+    rng = _random.Random(seed)
+    if flank is None:
+        flank = max(read_length + 20, 200)
+    if finder is None:
+        finder = VNTRFinder(ref_vntr, config or Config())
+    called, truth, rows = {}, {}, []
+    for k in desired_counts:
+        hap = reference_with_repeat_count(ref_vntr, chromosome_seq, k,
+                                          flank=flank)
+        n_reads = max(1, int(len(hap) * coverage / read_length))
+        reads = []
+        for i in range(n_reads):
+            start = rng.randint(0, len(hap) - read_length)
+            reads.append((f"c{k}r{i}",
+                          mutate(hap[start:start + read_length],
+                                 error_rate, rng)))
+        res = finder.find_repeat_count([], reads, read_length)
+        got = tuple(res.copy_numbers) if res.copy_numbers else None
+        rows.append({"desired": k, "called": got,
+                     "spanning": res.spanning_reads_count,
+                     "flanking": res.flanking_reads_count})
+        called[k] = got
+        truth[k] = (k, k)   # the edited haplotype is homozygous
+    return {"rows": rows, "comparison": compare_genotypes(called, truth)}
+
+
 def per_locus_accuracy_sweep(run_locus, loci, truth: dict):
     """Per-locus accuracy table: ``run_locus(ref_vntr) -> (a, b) | None``
     applied over ``loci``, diffed against ``truth`` — the per-locus sweep

@@ -36,6 +36,15 @@ class GenotypeResult:
     maximum_likelihood: float
 
 
+class FrameshiftCall(str):
+    """Frameshift candidate state name (a plain str for reference-parity
+    printing/comparison) carrying the posterior indel-support report as
+    attributes: ``lr_support`` (Viterbi-path indel count that fed the
+    binomial LR) and ``posterior`` (frameshift_posterior dict or None)."""
+    lr_support: int = 0
+    posterior: dict | None = None
+
+
 @dataclasses.dataclass
 class ScoredRead:
     sequence: str
@@ -910,8 +919,72 @@ class VNTRFinder:
 
     # -- frameshift mode (reference: vntr_finder.py:256-309) -----------------
 
+    def _sum_closure_tensors(self, read_length: int):
+        """Sum-semiring model tensors for the posterior kernels, split into
+        the full closure and its repeat-delete-routed part (cached per read
+        length).  See ops/posterior.py for the decomposition."""
+        cached = getattr(self, "_sum_cache", {})
+        if read_length in cached:
+            return cached[read_length]
+        from advntr_tpu.models.compiler import compile_graph_sum
+        from advntr_tpu.models.graph import K_DELETE, K_INSERT, R_REPEAT
+        from advntr_tpu.ops.posterior import clean_neg, log_sub
+        copies = self.get_copies_for_hmm(read_length)
+        flank_size = read_length
+        left = self.reference_vntr.left_flanking_region[-flank_size:]
+        right = self.reference_vntr.right_flanking_region[:flank_size]
+        trans, emis = profile_for_repeats(
+            list(self.reference_vntr.get_repeat_segments()),
+            self.config.max_error_rate)
+        g = build_read_matcher(left, right, trans, emis, copies,
+                               self.config.max_error_rate)
+        full = compile_graph_sum(g)
+        nodel = compile_graph_sum(
+            g, drop_silent=lambda s: s.kind == K_DELETE
+            and s.region == R_REPEAT)
+        emitting = [s for i, s in enumerate(g.states)
+                    if not s.is_silent and i not in (g.start, g.end)]
+        occ_mask = np.array(
+            [s.kind == K_INSERT and s.region == R_REPEAT for s in emitting],
+            dtype=np.float32)
+        tensors = (clean_neg(full[0]), clean_neg(full[1]),
+                   clean_neg(full[2]), clean_neg(full[3]),
+                   clean_neg(log_sub(full[0], nodel[0])),
+                   clean_neg(log_sub(full[2], nodel[2])),
+                   clean_neg(log_sub(full[3], nodel[3])),
+                   jnp.asarray(occ_mask))
+        cached[read_length] = tensors
+        self._sum_cache = cached
+        return tensors
+
+    def frameshift_posterior(self, sequences: list[str], read_length: int,
+                             max_reads: int = 128) -> dict:
+        """Posterior indel support over recruited reads: expected repeat
+        insert-state emissions and expected repeat-delete-routed transitions
+        per read under the forward-backward posterior (the SURVEY §7-step-7
+        posterior upgrade to the Viterbi-path indel count; reference
+        capability class pomegranate/hmm.pyx:1541-1777)."""
+        from advntr_tpu.ops.posterior import posterior_indel_batch
+        tensors = self._sum_closure_tensors(read_length)
+        seqs = sequences[:max_reads]
+        rows = [dna.encode(s) for s in seqs]
+        batch, lengths = dna.pad_batch(rows, multiple=32)
+        out = posterior_indel_batch(
+            *tensors, jnp.asarray(batch), jnp.asarray(lengths))
+        occ = np.asarray(out["ins_occupancy"], dtype=np.float64)
+        dm = np.asarray(out["del_mass"], dtype=np.float64)
+        return {
+            "reads": len(seqs),
+            "insert_occupancy": occ,
+            "delete_mass": dm,
+            "mean_insert_occupancy": float(occ.mean()) if len(seqs) else 0.0,
+            "mean_delete_mass": float(dm.mean()) if len(seqs) else 0.0,
+            "indel_support": float(occ.sum() + dm.sum()),
+        }
+
     def find_frameshift(self, mapped_reads, unmapped_reads,
-                        read_length: int | None = None):
+                        read_length: int | None = None,
+                        posterior: bool | None = None):
         if read_length is None:
             lens = sorted(len(s) for _, s in (mapped_reads + unmapped_reads)[:5])
             read_length = lens[len(lens) // 2] if lens else 150
@@ -960,9 +1033,30 @@ class VNTRFinder:
         if avg_bp_coverage == 0:
             return None
         expected_indels = 1 / avg_bp_coverage
-        if identify_frameshift(avg_bp_coverage, candidate[1], expected_indels):
-            return candidate[0]
-        return None
+        if not identify_frameshift(avg_bp_coverage, candidate[1],
+                                   expected_indels):
+            return None
+        if posterior is None:
+            posterior = self.config.frameshift_posterior
+        post = None
+        if posterior and candidate[0] is not None:
+            try:
+                post = self.frameshift_posterior(
+                    [r.sequence for r in selected], read_length)
+                logging.info(
+                    "frameshift posterior %s: candidate %s (LR support %d); "
+                    "mean insert occupancy %.3f, mean delete mass %.3f "
+                    "per read over %d reads",
+                    self.reference_vntr.id, candidate[0], candidate[1],
+                    post["mean_insert_occupancy"],
+                    post["mean_delete_mass"], post["reads"])
+            except Exception as error:  # posterior is reporting-only
+                logging.warning("frameshift posterior failed for %s: %s",
+                                self.reference_vntr.id, error)
+        call = FrameshiftCall(candidate[0])
+        call.lr_support = candidate[1]
+        call.posterior = post
+        return call
 
 
     # -- PacBio path (reference: vntr_finder.py:324-471, 534-665) ------------

@@ -327,7 +327,7 @@ def expand_path(art: ModelArtifact, state_path) -> list[str]:
     return out
 
 
-def compile_graph_sum(g: HmmGraph):
+def compile_graph_sum(g: HmmGraph, drop_silent=None):
     """Sum-semiring (forward-algorithm) silent-state elimination.
 
     Like compile_graph but closing silent chains with log-sum-exp instead of
@@ -335,12 +335,22 @@ def compile_graph_sum(g: HmmGraph):
     observation-independent, so total path probability factorizes through
     the summed silent closure.  Returns (log_T, log_E, log_start, log_end)
     float64 arrays over the same emitting-state ordering as compile_graph.
+
+    ``drop_silent``: optional predicate over silent StateDefs; silent states
+    matching it are removed from the closure (all their in/out edges
+    dropped), yielding the total weight of silent routes that AVOID them.
+    The posterior-deletion decomposition (ops/posterior.py) subtracts this
+    restricted closure from the full one.
     """
     n_all = len(g.states)
     emitting = [i for i, s in enumerate(g.states)
                 if not s.is_silent and i not in (g.start, g.end)]
     silent = [i for i, s in enumerate(g.states)
               if s.is_silent or i in (g.start, g.end)]
+    dropped = set()
+    if drop_silent is not None:
+        dropped = {i for i in silent
+                   if i not in (g.start, g.end) and drop_silent(g.states[i])}
     topo = _topo_sort_silent(g, silent)
     e_of = {s: k for k, s in enumerate(emitting)}
     s_of = {s: k for k, s in enumerate(topo)}
@@ -355,6 +365,8 @@ def compile_graph_sum(g: HmmGraph):
         W_se = np.full((n_s, n_e), NEG)
         ss_edges: list[list[tuple[int, float]]] = [[] for _ in range(n_s)]
         for (a, b), p in g.edges.items():
+            if a in dropped or b in dropped:
+                continue
             w = lg(p)
             if a in e_of and b in e_of:
                 W_ee[e_of[a], e_of[b]] = w

@@ -105,16 +105,24 @@ def main():
         rates.append(n_cpu / (time.perf_counter() - t0))
     cpu_rate = sorted(rates)[1]
 
+    # The in-run baseline underreads when the host is busy; report the
+    # isolated single-core number (600-650 reads/s measured on a quiet
+    # host, PERF_NOTES) alongside so the multiple is honest either way.
+    ISOLATED_CPU_RATE = 650.0
     result = {
         "metric": "viterbi_read_decodes_per_sec_per_chip",
         "value": round(device_rate, 2),
         "unit": "reads/s",
-        "vs_baseline": round(device_rate / cpu_rate, 2),
+        "vs_baseline": round(device_rate / max(cpu_rate, ISOLATED_CPU_RATE),
+                             2),
+        "vs_inrun_baseline": round(device_rate / cpu_rate, 2),
     }
     print(json.dumps(result))
     print(f"# device: {jax.devices()[0].platform} "
           f"n_states={art.n_states} B={B} L={read_length} "
-          f"cpu_baseline={cpu_rate:.1f} reads/s", file=sys.stderr)
+          f"cpu_baseline={cpu_rate:.1f} reads/s in-run, "
+          f"{ISOLATED_CPU_RATE:.0f} reads/s isolated (PERF_NOTES)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,31 @@ def test_per_locus_accuracy_sweep():
     assert statuses[2] == "mismatch"
     assert statuses[3].startswith("error")
     assert abs(sweep["accuracy"] - 1 / 3) < 1e-9
+
+
+def test_mutated_reference_sweep_end_to_end():
+    """Edit reference -> simulate -> genotype -> compare, connected
+    (reference workflow: reference_editor.py:66-97 + plot.py sweeps)."""
+    import random
+
+    from advntr_tpu.engine.evaluation import mutated_reference_sweep
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    rng = random.Random(3)
+    pattern = "ACGGTCAGT"
+    left = "".join(rng.choice("ACGT") for _ in range(400))
+    right = "".join(rng.choice("ACGT") for _ in range(400))
+    ref = ReferenceVNTR(77, pattern, len(left), "chr1")
+    ref.repeat_segments = [pattern] * 5
+    ref.left_flanking_region = left
+    ref.right_flanking_region = right
+    ref.estimated_repeats = 5
+    chromosome = left + pattern * 5 + right
+
+    sweep = mutated_reference_sweep(
+        ref, chromosome, desired_counts=[3, 4, 6],
+        coverage=30, read_length=100, seed=5)
+    assert sweep["comparison"].accuracy == 1.0, sweep["rows"]
+    for row in sweep["rows"]:
+        assert row["called"] == (row["desired"], row["desired"])
+        assert row["spanning"] > 0

@@ -1,0 +1,122 @@
+"""Genome-scale distributed slice: a 100-locus panel sharded across two OS
+processes must merge to exactly the single-process result.
+
+This is the scale-exercise companion of test_distributed.py (2 loci): same
+mechanics, panel-sized shard counts, structured-record merge.  A full
+100-locus panel takes ~5 CPU-minutes, so the test is opt-in:
+
+    ADVNTR_TPU_SCALE_TESTS=1 python -m pytest tests/test_distributed_scale.py
+
+It is run (and its outcome recorded in PERF_NOTES.md) as part of the
+genome-wide feasibility evidence for BASELINE config #5 (158,522 loci,
+reference README.md:34-35).
+"""
+
+import json
+import os
+import random
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ADVNTR_TPU_SCALE_TESTS") != "1",
+    reason="scale test: set ADVNTR_TPU_SCALE_TESTS=1 (~5 CPU-min)")
+
+N_LOCI = 100
+READ_LEN = 100
+
+
+def build_panel(tmp):
+    from advntr_tpu.engine.simulate import simulate_diploid_reads
+    from advntr_tpu.io.bam import BamRead, BamWriter
+    from advntr_tpu.models.db import (create_vntrs_database,
+                                      save_reference_vntr_to_database)
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    rng = random.Random(9)
+    db = os.path.join(tmp, "models.db")
+    create_vntrs_database(db)
+    bam = os.path.join(tmp, "panel.bam")
+    with BamWriter(bam, ["chr1"], [100_000_000]) as w:
+        for i in range(N_LOCI):
+            plen = rng.choice([8, 10, 12])
+            pattern = "".join(rng.choice("ACGT") for _ in range(plen))
+            left = "".join(rng.choice("ACGT") for _ in range(150))
+            right = "".join(rng.choice("ACGT") for _ in range(150))
+            maxc = max(2, (READ_LEN - 40) // plen)
+            refc = rng.randint(2, maxc)
+            ref = ReferenceVNTR(1000 + i, pattern, 10_000 * (i + 1), "chr1")
+            ref.repeat_segments = [pattern] * refc
+            ref.left_flanking_region = left
+            ref.right_flanking_region = right
+            ref.estimated_repeats = refc
+            save_reference_vntr_to_database(ref, db)
+            a = tuple(sorted((rng.randint(2, maxc), rng.randint(2, maxc))))
+            reads, _, _ = simulate_diploid_reads(
+                left, pattern, a[0], a[1], right, read_length=READ_LEN,
+                coverage=15, error_rate=0.002, seed=100 + i)
+            for name, seq in reads:
+                w.write(BamRead(f"L{ref.id}_{name}", 4, -1, -1, 0, [],
+                                seq, [38] * len(seq)))
+    return db, bam
+
+
+WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from advntr_tpu.config import Config
+    from advntr_tpu.models.db import load_unique_vntrs_data
+    from advntr_tpu.parallel.distributed import run_sharded_panel
+
+    db, bam, workdir, pid, nproc = sys.argv[1:6]
+    pid, nproc = int(pid), int(nproc)
+    refs = load_unique_vntrs_data(db)
+    ids = sorted(r.id for r in refs)
+    merged = run_sharded_panel(refs, ids, bam, workdir, Config(),
+                               process_id=pid, num_processes=nproc)
+    if pid == 0:
+        with open(os.path.join(workdir, "merged.json"), "w") as fh:
+            json.dump(merged, fh)
+""")
+
+
+def test_100_locus_panel_two_processes(tmp_path):
+    db, bam = build_panel(str(tmp_path))
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    env.pop("XLA_FLAGS", None)
+
+    # two real OS processes over disjoint halves of the panel
+    workdir2 = tmp_path / "two"
+    workdir2.mkdir()
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), db, bam, str(workdir2), str(p), "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=1800)
+        assert p.returncode == 0, err.decode()[-2000:]
+    with open(workdir2 / "merged.json") as fh:
+        merged2 = json.load(fh)
+
+    # single process, same panel
+    workdir1 = tmp_path / "one"
+    workdir1.mkdir()
+    p = subprocess.Popen(
+        [sys.executable, str(script), db, bam, str(workdir1), "0", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    _, err = p.communicate(timeout=1800)
+    assert p.returncode == 0, err.decode()[-2000:]
+    with open(workdir1 / "merged.json") as fh:
+        merged1 = json.load(fh)
+
+    assert len(merged2) == N_LOCI
+    assert merged2 == merged1  # bit-identical structured records
+    errors = [v for v in merged2.values() if v.get("error")]
+    assert not errors

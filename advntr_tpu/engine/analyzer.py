@@ -424,10 +424,10 @@ class GenomeAnalyzer:
                         average_coverage=average_coverage), False)
                     continue
                 if lm.pallas is not None:
-                    key = ("pallas", lm.pallas.PM.shape[1],
-                           lm.pallas.PB.shape[1],
+                    key = ("pallas", lm.pallas.PM2.shape[1],
+                           lm.pallas.PB2.shape[1],
                            lm.pallas.struct_to_art.shape[0],
-                           lm.pallas.Wd.shape[0], lm.pallas.Wu.shape[0],
+                           lm.pallas.Wd2.shape[0], lm.pallas.Wu.shape[0],
                            lm.meta[0].shape[0])
                 else:
                     key = ("struct", lm.struct.blk_idx.shape[0],

@@ -254,3 +254,44 @@ def test_pallas_random_soak():
             np.testing.assert_array_equal(np.asarray(a1[k])[keep],
                                           np.asarray(a2[k])[keep],
                                           err_msg=f"{trial}:{k}")
+
+
+def test_analyzer_grouped_dispatch_pallas_kernel(monkeypatch, tmp_path,
+                                                 caplog):
+    """The analyzer's grouped-dispatch path must work with the pallas
+    kernel selected (interpret mode on CPU): the shape-bucket key reads
+    PallasStructModel fields, and a field rename once broke every panel
+    locus into the silent per-locus fallback (caught only on TPU runs).
+    Asserts the grouped path succeeds with NO error-path fallback."""
+    import io as _io
+    import logging as _logging
+    from advntr_tpu.config import Config
+    from advntr_tpu.engine.analyzer import GenomeAnalyzer
+    from advntr_tpu.engine.simulate import simulate_diploid_reads
+    from advntr_tpu.io.bam import BamRead, BamWriter
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    monkeypatch.setenv("ADVNTR_TPU_KERNEL", "pallas")
+    rng = random.Random(13)
+    pattern = "GATCGATTCGAA"
+    ref = ReferenceVNTR(56, pattern, 1000, "chr1")
+    ref.repeat_segments = [pattern] * 3
+    ref.left_flanking_region = _rand_seq(rng, 200)
+    ref.right_flanking_region = _rand_seq(rng, 200)
+    reads, _, _ = simulate_diploid_reads(
+        ref.left_flanking_region, pattern, 2, 4, ref.right_flanking_region,
+        read_length=100, coverage=30, error_rate=0.002, seed=9)
+    bam_path = str(tmp_path / "s.bam")
+    with BamWriter(bam_path, ["chr1"], [100000]) as w:
+        for name, seq in reads:
+            w.write(BamRead(name, 4, -1, -1, 0, [], seq, [38] * len(seq)))
+
+    buf = _io.StringIO()
+    with caplog.at_level(_logging.ERROR):
+        analyzer = GenomeAnalyzer([ref], [56], str(tmp_path / "w") + "/",
+                                  "text", config=Config(), out=buf,
+                                  input_file=bam_path)
+        analyzer.find_repeat_counts_from_alignment_file(bam_path)
+    errors = [r for r in caplog.records if r.levelno >= _logging.ERROR]
+    assert not errors, [r.getMessage() for r in errors]
+    assert buf.getvalue().strip().splitlines() == ["56", "2/4"]

@@ -353,12 +353,17 @@ class GenomeAnalyzer:
                 try:
                     results = self._genotype_loci_grouped(
                         bam, unmapped_by_vid, read_length, accuracy_filter,
-                        average_coverage, update)
+                        average_coverage, update, ckpt_path=ckpt_path)
                 finally:
                     self.target_vntr_ids = saved_targets
             if ckpt_path:
+                # flush any loci the incremental appends missed (sequential
+                # paths: --update, struct-less fallbacks)
+                flushed = self._load_checkpoint(ckpt_path)
                 with open(ckpt_path, "a") as fh:
                     for vid in pending:
+                        if vid in flushed:
+                            continue
                         result, err = results[vid]
                         fh.write(json.dumps(
                             self._checkpoint_record(vid, result, err)) + "\n")
@@ -384,9 +389,24 @@ class GenomeAnalyzer:
         # (never the rendered text/BED/VCF stream, which is display-only)
         return records
 
+    def _append_checkpoint(self, ckpt_path, vids, results) -> None:
+        """Append finished loci to the JSONL checkpoint as soon as their
+        chunk collects, so an interrupted panel run resumes from the last
+        completed chunk instead of losing the whole pass (genome-scale
+        runs hold thousands of loci in flight)."""
+        if not ckpt_path:
+            return
+        import json
+        with open(ckpt_path, "a") as fh:
+            for vid in vids:
+                if vid in results:
+                    result, err = results[vid]
+                    fh.write(json.dumps(
+                        self._checkpoint_record(vid, result, err)) + "\n")
+
     def _genotype_loci_grouped(self, bam, unmapped_by_vid, read_length,
                                accuracy_filter, average_coverage, update,
-                               group_size: int = 8):
+                               group_size: int = 8, ckpt_path=None):
         """Per-locus prep on host, then same-bucket loci scored as grouped
         device calls (one executable per bucket, G loci per dispatch)."""
         from collections import defaultdict
@@ -462,6 +482,7 @@ class GenomeAnalyzer:
                     self._collect_group(chunk, prepped, stats, read_length,
                                         results, accuracy_filter,
                                         average_coverage)
+                    self._append_checkpoint(ckpt_path, chunk, results)
                     continue
                 except Exception as error:
                     logging.error("Grouped collect failed (%s); falling "
@@ -481,6 +502,7 @@ class GenomeAnalyzer:
                     logging.error("Error genotyping VNTR %s: %s.",
                                   vid, err2)
                     results[vid] = error_result
+            self._append_checkpoint(ckpt_path, chunk, results)
         return results
 
     def _dispatch_group(self, chunk, prepped, group_size: int = 8):

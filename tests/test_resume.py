@@ -53,3 +53,67 @@ def test_resume_from_checkpoint(tmp_path):
         fh.write(json.dumps(rec) + "\n")
     second = run()
     assert second == ["55", "7/9"]
+
+
+def test_checkpoint_appends_incrementally(tmp_path, monkeypatch):
+    """Chunk results append to the checkpoint as they collect, so a crash
+    mid-panel preserves completed loci (genome-scale resume)."""
+    import pytest
+    from advntr_tpu.engine.analyzer import GenomeAnalyzer as GA
+
+    loci = []
+    reads_all = []
+    for i, seed in enumerate((31, 32)):
+        pattern = "GATCGATTCGAA"
+        ref = ReferenceVNTR(60 + i, pattern, 1000 + 5000 * i, "chr1")
+        ref.repeat_segments = [pattern] * 3
+        ref.left_flanking_region = _rand_seq(seed, 200)
+        ref.right_flanking_region = _rand_seq(seed + 50, 200)
+        loci.append(ref)
+        reads, _, _ = simulate_diploid_reads(
+            ref.left_flanking_region, pattern, 2, 4,
+            ref.right_flanking_region, read_length=100, coverage=30,
+            error_rate=0.002, seed=seed)
+        reads_all.extend((f"{ref.id}_{n}", s) for n, s in reads)
+    bam_path = str(tmp_path / "two.bam")
+    with BamWriter(bam_path, ["chr1"], [100000]) as w:
+        for name, seq in reads_all:
+            w.write(BamRead(name, 4, -1, -1, 0, [], seq, [38] * len(seq)))
+
+    # force one-locus chunks, and blow up after the FIRST chunk collects
+    orig_collect = GA._collect_group
+    calls = {"n": 0}
+
+    def crashing_collect(self, *a, **kw):
+        if calls["n"] >= 1:
+            raise KeyboardInterrupt("simulated crash")
+        calls["n"] += 1
+        return orig_collect(self, *a, **kw)
+
+    orig_grouped = GA._genotype_loci_grouped
+    monkeypatch.setattr(
+        GA, "_genotype_loci_grouped",
+        lambda self, *a, **kw: orig_grouped(
+            self, *a, **{**kw, "group_size": 1}))
+    monkeypatch.setattr(GA, "_collect_group", crashing_collect)
+
+    out = io.StringIO()
+    analyzer = GenomeAnalyzer([loci[0], loci[1]], [60, 61],
+                              str(tmp_path) + "/", "text", config=Config(),
+                              out=out, input_file=bam_path)
+    with pytest.raises(KeyboardInterrupt):
+        analyzer.find_repeat_counts_from_alignment_file(bam_path)
+
+    ckpt = str(tmp_path) + "/results_checkpoint_two.bam.jsonl"
+    assert os.path.exists(ckpt), "first chunk's append must survive a crash"
+    recs = [json.loads(l) for l in open(ckpt)]
+    assert len(recs) == 1 and recs[0]["copy_numbers"] == [2, 4]
+
+    # a clean rerun resumes: replays the checkpointed locus, scores the rest
+    monkeypatch.setattr(GA, "_collect_group", orig_collect)
+    out = io.StringIO()
+    analyzer = GenomeAnalyzer([loci[0], loci[1]], [60, 61],
+                              str(tmp_path) + "/", "text", config=Config(),
+                              out=out, input_file=bam_path)
+    analyzer.find_repeat_counts_from_alignment_file(bam_path)
+    assert out.getvalue().strip().splitlines() == ["60", "2/4", "61", "2/4"]

@@ -49,6 +49,12 @@ class GenomeAnalyzer:
             else None
         self.model_cache = LocusModelCache(
             workers=max(0, config.io_threads - 1), bank_dir=bank_dir)
+        # loci that lost the grouped fast path this run (dispatch or collect
+        # failure -> per-locus fallback).  A fallback is ~10x slower and a
+        # silent one once masked a kernel regression (commit f4e4ee3); panel
+        # harnesses fail loudly when this is non-empty.
+        self.grouped_fallback_vids: list = []
+        self.checkpoint_suffix = ""
         self.vntr_finder = {}
         for ref_vntr in ref_vntrs:
             if ref_vntr.id in target_vntr_ids:
@@ -262,8 +268,9 @@ class GenomeAnalyzer:
         if not self.working_dir:
             return None
         base = os.path.basename(alignment_file)
-        return os.path.join(self.working_dir,
-                            f"results_checkpoint_{base}.jsonl")
+        return os.path.join(
+            self.working_dir,
+            f"results_checkpoint_{base}{self.checkpoint_suffix}.jsonl")
 
     def _load_checkpoint(self, path):
         import json
@@ -329,7 +336,6 @@ class GenomeAnalyzer:
                                                accuracy_filter: bool = False,
                                                average_coverage=None,
                                                update: bool = False) -> dict:
-        import json
         if average_coverage:
             self._attach_coverage_corrector(alignment_file)
         ckpt_path = self._checkpoint_path(alignment_file)
@@ -360,13 +366,15 @@ class GenomeAnalyzer:
                 # flush any loci the incremental appends missed (sequential
                 # paths: --update, struct-less fallbacks)
                 flushed = self._load_checkpoint(ckpt_path)
-                with open(ckpt_path, "a") as fh:
-                    for vid in pending:
-                        if vid in flushed:
-                            continue
-                        result, err = results[vid]
-                        fh.write(json.dumps(
-                            self._checkpoint_record(vid, result, err)) + "\n")
+                self._append_checkpoint(
+                    ckpt_path,
+                    [vid for vid in pending if vid not in flushed], results)
+            if self.grouped_fallback_vids:
+                logging.warning(
+                    "FAST-PATH DEGRADATION: %d loci fell back from grouped "
+                    "device dispatch to the per-locus path: %s",
+                    len(self.grouped_fallback_vids),
+                    self.grouped_fallback_vids[:20])
 
         from advntr_tpu.utils.profiler import stage_summary
         logging.info(stage_summary())
@@ -397,12 +405,24 @@ class GenomeAnalyzer:
         if not ckpt_path:
             return
         import json
-        with open(ckpt_path, "a") as fh:
-            for vid in vids:
-                if vid in results:
-                    result, err = results[vid]
-                    fh.write(json.dumps(
-                        self._checkpoint_record(vid, result, err)) + "\n")
+        lines = []
+        for vid in vids:
+            if vid in results:
+                result, err = results[vid]
+                lines.append(json.dumps(
+                    self._checkpoint_record(vid, result, err)) + "\n")
+        if not lines:
+            return
+        # one os.write of the whole chunk: O_APPEND writes to a regular
+        # file are offset-atomic, so concurrent shard processes sharing a
+        # working_dir cannot tear each other's records mid-line
+        data = "".join(lines).encode()
+        fd = os.open(ckpt_path, os.O_WRONLY | os.O_APPEND | os.O_CREAT,
+                     0o644)
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
 
     def _genotype_loci_grouped(self, bam, unmapped_by_vid, read_length,
                                accuracy_filter, average_coverage, update,
@@ -475,6 +495,7 @@ class GenomeAnalyzer:
                 except Exception as error:
                     logging.error("Grouped dispatch failed (%s); falling "
                                   "back per locus: %s", chunk, error)
+                    self.grouped_fallback_vids.extend(chunk)
                     inflight.append((chunk, None))
         for chunk, stats in inflight:
             if stats is not None:
@@ -487,6 +508,7 @@ class GenomeAnalyzer:
                 except Exception as error:
                     logging.error("Grouped collect failed (%s); falling "
                                   "back per locus: %s", chunk, error)
+                    self.grouped_fallback_vids.extend(chunk)
             for vid in chunk:
                 finder, lm, reads, rows, row_info = prepped[vid]
                 try:

@@ -982,6 +982,42 @@ class VNTRFinder:
             "indel_support": float(occ.sum() + dm.sum()),
         }
 
+    def em_update(self, sequences: list[str], read_length: int,
+                  max_iters: int = 5, inertia: float = 0.0,
+                  max_reads: int = 256) -> dict:
+        """Baum-Welch re-estimation over recruited reads (the posterior
+        twin of the Viterbi-path ``--update``; reference capability class
+        pomegranate/hmm.pyx:2369 ``fit`` — disabled in the reference
+        runtime itself, hmm_utils.py:676-678).
+
+        Runs EM on the sum-closed model (ops/baum_welch.py) and returns
+        {"history": total loglik per iteration, "log_E": (n, 4) updated
+        emissions, "log_T": updated transitions, "names": emitting-state
+        names} so callers can inspect per-state parameter shifts (the
+        conformance test cross-checks the emission direction against the
+        Viterbi-path update)."""
+        from advntr_tpu.models.compiler import compile_graph_sum
+        from advntr_tpu.ops.baum_welch import baum_welch_fit
+        copies = self.get_copies_for_hmm(read_length)
+        left = self.reference_vntr.left_flanking_region[-read_length:]
+        right = self.reference_vntr.right_flanking_region[:read_length]
+        trans, emis = profile_for_repeats(
+            list(self.reference_vntr.get_repeat_segments()),
+            self.config.max_error_rate)
+        g = build_read_matcher(left, right, trans, emis, copies,
+                               self.config.max_error_rate)
+        log_T, log_E, log_start, log_end = compile_graph_sum(g)
+        names = [s.name for i, s in enumerate(g.states)
+                 if not s.is_silent and i not in (g.start, g.end)]
+        rows = [dna.encode(s) for s in sequences[:max_reads]]
+        batch, lengths = dna.pad_batch(rows, multiple=32)
+        params, history = baum_welch_fit(
+            log_T, log_E, log_start, log_end, jnp.asarray(batch),
+            jnp.asarray(lengths), max_iters=max_iters, inertia=inertia)
+        return {"history": history, "log_T": params[0], "log_E": params[1],
+                "log_start": params[2], "log_end": params[3],
+                "names": names}
+
     def find_frameshift(self, mapped_reads, unmapped_reads,
                         read_length: int | None = None,
                         posterior: bool | None = None):
@@ -1035,6 +1071,11 @@ class VNTRFinder:
         expected_indels = 1 / avg_bp_coverage
         if not identify_frameshift(avg_bp_coverage, candidate[1],
                                    expected_indels):
+            return None
+        if candidate[0] is None:
+            # no concrete mutation to report even though the LR fires
+            # (e.g. observed=0 at integer coverage); the reference returns
+            # None here (vntr_finder.py find_frameshift_from_selected_reads)
             return None
         if posterior is None:
             posterior = self.config.frameshift_posterior

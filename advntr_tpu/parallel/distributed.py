@@ -95,6 +95,10 @@ def run_sharded_panel(ref_vntrs, target_vntr_ids, alignment_file: str,
     analyzer = GenomeAnalyzer(ref_vntrs, my_loci, working_dir, outfmt,
                               config=config, input_file=alignment_file,
                               out=out)
+    if num_processes > 1:
+        # per-shard result checkpoint: shard processes sharing a
+        # working_dir must not interleave resume records in one file
+        analyzer.checkpoint_suffix = f".shard{process_id}"
     records = analyzer.find_repeat_counts_from_alignment_file(alignment_file)
     return gather_results(records, process_id, num_processes,
                           working_dir + "/shards")

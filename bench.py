@@ -105,16 +105,19 @@ def main():
         rates.append(n_cpu / (time.perf_counter() - t0))
     cpu_rate = sorted(rates)[1]
 
-    # The in-run baseline underreads when the host is busy; report the
-    # isolated single-core number (600-650 reads/s measured on a quiet
-    # host, PERF_NOTES) alongside so the multiple is honest either way.
+    # The in-run baseline underreads when this shared 2-core host is busy;
+    # 650 reads/s is the isolated single-core rate measured for EXACTLY this
+    # configuration (n_states=927, B=4096, L=150; PERF_NOTES).  Apply it
+    # only when the config matches the calibration — any other geometry
+    # falls back to the honest in-run measurement.
     ISOLATED_CPU_RATE = 650.0
+    calibrated = (art.n_states == 927 and B == 4096 and read_length == 150)
+    baseline = max(cpu_rate, ISOLATED_CPU_RATE) if calibrated else cpu_rate
     result = {
         "metric": "viterbi_read_decodes_per_sec_per_chip",
         "value": round(device_rate, 2),
         "unit": "reads/s",
-        "vs_baseline": round(device_rate / max(cpu_rate, ISOLATED_CPU_RATE),
-                             2),
+        "vs_baseline": round(device_rate / baseline, 2),
         "vs_inrun_baseline": round(device_rate / cpu_rate, 2),
     }
     print(json.dumps(result))

@@ -84,6 +84,12 @@ def run_pipeline(db_file, bam_file, workdir, config):
     analyzer = GenomeAnalyzer(ref_vntrs, [r.id for r in ref_vntrs],
                               workdir + "/", "text", config=config, out=out)
     analyzer.find_repeat_counts_from_alignment_file(bam_file)
+    if analyzer.grouped_fallback_vids:
+        # a silent fast-path loss once masked a ~10x regression (f4e4ee3);
+        # benchmarks must never report a number from the fallback path
+        raise RuntimeError(
+            f"{len(analyzer.grouped_fallback_vids)} loci fell back from "
+            f"grouped device dispatch: {analyzer.grouped_fallback_vids[:20]}")
     lines = out.getvalue().strip().splitlines()
     return dict(zip(lines[0::2], lines[1::2]))
 

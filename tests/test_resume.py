@@ -117,3 +117,36 @@ def test_checkpoint_appends_incrementally(tmp_path, monkeypatch):
                               out=out, input_file=bam_path)
     analyzer.find_repeat_counts_from_alignment_file(bam_path)
     assert out.getvalue().strip().splitlines() == ["60", "2/4", "61", "2/4"]
+
+
+def test_grouped_fallback_alarm(tmp_path, monkeypatch):
+    """A grouped-dispatch failure must be counted on the analyzer so panel
+    harnesses can fail loudly instead of silently running ~10x slower
+    (the f4e4ee3 regression class)."""
+    from advntr_tpu.engine.analyzer import GenomeAnalyzer as GA
+
+    pattern = "GATCGATTCGAA"
+    ref = ReferenceVNTR(70, pattern, 1000, "chr1")
+    ref.repeat_segments = [pattern] * 3
+    ref.left_flanking_region = _rand_seq(41, 200)
+    ref.right_flanking_region = _rand_seq(42, 200)
+    reads, _, _ = simulate_diploid_reads(
+        ref.left_flanking_region, pattern, 2, 4, ref.right_flanking_region,
+        read_length=100, coverage=30, error_rate=0.002, seed=7)
+    bam_path = str(tmp_path / "f.bam")
+    with BamWriter(bam_path, ["chr1"], [100000]) as w:
+        for name, seq in reads:
+            w.write(BamRead(name, 4, -1, -1, 0, [], seq, [38] * len(seq)))
+
+    def broken_dispatch(self, *a, **kw):
+        raise ValueError("simulated dispatch regression")
+
+    monkeypatch.setattr(GA, "_dispatch_group", broken_dispatch)
+    out = io.StringIO()
+    analyzer = GenomeAnalyzer([ref], [70], str(tmp_path) + "/", "text",
+                              config=Config(), out=out, input_file=bam_path)
+    analyzer.find_repeat_counts_from_alignment_file(bam_path)
+    # fallback path still produces the right genotype...
+    assert out.getvalue().strip().splitlines() == ["70", "2/4"]
+    # ...but the degradation is counted, not silent
+    assert analyzer.grouped_fallback_vids == [70]

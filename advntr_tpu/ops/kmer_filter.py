@@ -129,6 +129,20 @@ class RecruitmentFilter:
     def process_batch(self, names: list[str], seqs: list[str]) -> None:
         if not names or len(self.table.codes) == 0:
             return
+        # the per-(read, locus) counts plane is B x n_loci int32: at
+        # genome-wide panel sizes (158,522 loci, reference README.md:34-35)
+        # a 1024-read batch would be ~650 MB of HBM — split the batch so
+        # the plane stays under ~256 MB while small panels keep one bucket
+        n_loci = max(1, len(self.table.loci))
+        b_cap = max(32, (64 << 20) // n_loci)
+        b_cap = 1 << (b_cap.bit_length() - 1)
+        if len(names) > b_cap:
+            for s in range(0, len(names), b_cap):
+                self._process_chunk(names[s:s + b_cap], seqs[s:s + b_cap])
+        else:
+            self._process_chunk(names, seqs)
+
+    def _process_chunk(self, names: list[str], seqs: list[str]) -> None:
         rows = [dna.encode(s.upper()) for s in seqs]
         batch, lengths = dna.pad_batch(rows, multiple=128)
         if batch.shape[1] < self.table.k:

@@ -346,20 +346,36 @@ class GenomeAnalyzer:
         if pending:
             unmapped_by_vid = self.recruit_unmapped_reads(alignment_file,
                                                           illumina=True)
+            # loci process in WAVES: each wave schedules its model builds,
+            # runs the grouped dispatch, then evicts its host-side model
+            # cache entries.  Per-locus decode tables are ~14 MB of host
+            # RAM — an unbounded cache fits a 6,719-locus panel (~97 GB)
+            # but OOMs at genome scale (158,522 loci), so the wave size
+            # caps the live set (~15 GB at the 1024 default).
+            wave_size = int(os.environ.get("ADVNTR_TPU_LOCI_WAVE", "1024"))
             with open_alignment(alignment_file, self.ref_filename) as bam:
                 read_length = self._median_read_length(bam)
-                for vid in pending:
-                    finder = self.vntr_finder[vid]
-                    self.model_cache.schedule(
-                        finder.reference_vntr,
-                        finder.get_copies_for_hmm(read_length),
-                        read_length, self.config.max_error_rate)
                 saved_targets = self.target_vntr_ids
-                self.target_vntr_ids = pending
                 try:
-                    results = self._genotype_loci_grouped(
-                        bam, unmapped_by_vid, read_length, accuracy_filter,
-                        average_coverage, update, ckpt_path=ckpt_path)
+                    for w0 in range(0, len(pending), wave_size):
+                        wave = pending[w0:w0 + wave_size]
+                        for vid in wave:
+                            finder = self.vntr_finder[vid]
+                            self.model_cache.schedule(
+                                finder.reference_vntr,
+                                finder.get_copies_for_hmm(read_length),
+                                read_length, self.config.max_error_rate)
+                        self.target_vntr_ids = wave
+                        results.update(self._genotype_loci_grouped(
+                            bam, unmapped_by_vid, read_length,
+                            accuracy_filter, average_coverage, update,
+                            ckpt_path=ckpt_path))
+                        for vid in wave:
+                            finder = self.vntr_finder[vid]
+                            self.model_cache.evict(
+                                finder.reference_vntr,
+                                finder.get_copies_for_hmm(read_length),
+                                read_length, self.config.max_error_rate)
                 finally:
                     self.target_vntr_ids = saved_targets
             if ckpt_path:

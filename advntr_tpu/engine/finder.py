@@ -241,6 +241,16 @@ class LocusModelCache:
         self._cache[key] = self._build_from_payload(art, sm)
         return self._cache[key]
 
+    def evict(self, ref_vntr, copies: int, flank_size: int,
+              error_rate: float) -> None:
+        """Drop a locus's compiled model from the in-RAM cache (the bank
+        copy on disk, if any, is untouched).  Panel runs hold ~14 MB of
+        host decode tables per locus; genome-scale panels (158,522 loci,
+        reference README.md:34-35) must evict completed waves or the host
+        OOMs long before the device does."""
+        self._cache.pop(self._key(ref_vntr, copies, flank_size,
+                                  error_rate), None)
+
     def _build(self, g, art) -> LocusModel:
         sm = None
         if self.use_struct:

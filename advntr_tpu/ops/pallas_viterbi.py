@@ -307,9 +307,12 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
                   ulsuf_ref, runit_ref,
                   oMI_ref, oXH_ref, best_ref, bstate_ref,
                   MI_s, D_s, Do_s, XH_s, hubpo_s):
-    i = pl.program_id(0)
-    nblk = pl.num_programs(0)
-    T = seq1h_ref.shape[0]
+    # grid = (n_chunks, L // T_BLK): one kernel instance runs EVERY chunk
+    # (chunk-major order), so the per-chunk DP state re-initializes at each
+    # chunk's first column block and there is no per-chunk dispatch gap
+    i = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    T = seq1h_ref.shape[1]
     B, P2 = MI_s.shape
     P = P2 // 2
     nb2 = XH_s.shape[1]
@@ -317,7 +320,7 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
     C = ulsuf_ref.shape[1] - 1
     n_rounds_p = Wd2_ref.shape[0]
     n_rounds_c = Wu_ref.shape[0]
-    lengths = lengths_ref[:]                 # (B, 1)
+    lengths = lengths_ref[...].reshape(B, 1)
 
     # loop-invariant constants (origin codes in struct space: M_p = p,
     # I_p = P+p, I0_b = 2P+b, hub_b sentinel = 2P+nb+b)
@@ -352,6 +355,14 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
     # one (T·B,4)x(4,3P+nb) beats T small dependent ones
     e_blk = _dot(seq1h_ref[...].reshape(T * B, 4), EMB_ref[...])
 
+    # the delete-chain shift-max rounds run on SEPARATE value/origin
+    # (B, P) planes: the stacked (B, 2P) form spends an add on the origin
+    # half (its window weights are all zero) and a concat per round to
+    # broadcast the take mask — 9P element-touches per round vs 6P here,
+    # and the rounds dominate the per-column op budget at flank-sized
+    # blocks (n_rounds_p = 8 at 150bp flanks)
+    Wd_rows = [Wd2_ref[r, :P][None, :] for r in range(n_rounds_p)]
+
     # DP state as loop locals: scratch is read/written once per grid step
     MI, D, Do = MI_s[...], D_s[...], Do_s[...]
     XH, hubpo = XH_s[...], hubpo_s[...]
@@ -378,10 +389,9 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
             + PM2_ref[W2_A, :][None, :]
         candB = jnp.concatenate([rollMI[:, P:], MI[:, P:]], axis=1) \
             + PM2_ref[W2_B, :][None, :]
-        rollDDo = _roll(jnp.concatenate([D, Do], axis=1), 1)
-        candC = jnp.concatenate([rollDDo[:, :P], D], axis=1) \
+        candC = jnp.concatenate([_roll(D, 1), D], axis=1) \
             + PM2_ref[W2_C, :][None, :]
-        origC = jnp.concatenate([rollDDo[:, P:], Do], axis=1)
+        origC = jnp.concatenate([_roll(Do, 1), Do], axis=1)
         v, o = _pick(candA, ORIG_A, candB, ORIG_B)
         v, o = _pick(v, o, candC, origC)
         v, o = _pick(v, o, jnp.concatenate([v5, NEGrow], axis=1),
@@ -409,17 +419,16 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
         bcand = _roll(MIn, 1) + PM2_ref[W2_D, :][None, :]
         bv, bo = _pick(bcand[:, :P], idxM1, bcand[:, P:], idxI1)
         bv, bo = _pick(bv, bo, i0e, blkid)
-        VD = jnp.concatenate([bv, bo], axis=1)
+        Din, Dino = bv, bo
         for r in range(n_rounds_p):
             k = 1 << r
             if k >= P:
                 break
-            rolled = _roll(VD, k) + Wd2_ref[r, :][None, :]
-            take = rolled[:, :P] > VD[:, :P]
-            VD = jnp.where(jnp.concatenate([take, take], axis=1),
-                           rolled, VD)
-        Din = VD[:, :P]
-        Dino = VD[:, P:]
+            rv = _roll(Din, k) + Wd_rows[r]
+            ro = _roll(Dino, k)
+            take = rv > Din
+            Din = jnp.where(take, rv, Din)
+            Dino = jnp.where(take, ro, Dino)
         # block-end extraction: values and origins ride ONE matmul
         q2 = MIn + PM2_ref[W2_X, :][None, :]
         qv, qo = _pick(q2[:, :P], idxM, q2[:, P:], idxI)
@@ -467,11 +476,11 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
         # origins store +1 (so the first-column sentinel -1 lands on 0 and
         # every code stays positive under the packed match bit); mm2
         # already carries the +1.5 storage offset from the emission matmul
-        oMI_ref[tt] = (OMIn + mm2).astype(oMI_ref.dtype)
+        oMI_ref[0, tt] = (OMIn + mm2).astype(oMI_ref.dtype)
         # oXH[t] = [I0 origins of column t | resolved origins of the hub at
         # column t-1 — exactly what a HUB sentinel read from a column-t
         # plane refers to]
-        oXH_ref[tt] = (jnp.concatenate([OI0n, hubpo], axis=1) + 1.5) \
+        oXH_ref[0, tt] = (jnp.concatenate([OI0n, hubpo], axis=1) + 1.5) \
             .astype(oXH_ref.dtype)
         MI, D, Do = MIn, Dn, Don
         XH = jnp.concatenate([I0n, hubn], axis=1)
@@ -491,31 +500,36 @@ def _fused_kernel(seq1h_ref, lengths_ref, PM2_ref, PB2_ref, EMB_ref,
             [MI + PM2_ref[W2_LE, :][None, :],
              XH[:, :nb] + PB2_ref[B2_LE, :nb][None, :]], axis=1)
         fin, fo = _max_first_idx(fin_cat)
-        best_ref[...] = fin
-        bstate_ref[...] = (fo + 0.5).astype(jnp.int32)
+        best_ref[0] = fin
+        bstate_ref[0] = (fo + 0.5).astype(jnp.int32)
 
 
 def pallas_fused_forward(pm: PallasStructModel, seqs, lengths,
                          interpret: bool = False):
-    """Fused forward: returns (best (B,), best_state (B,) struct index,
-    origins_MI (L,B,2P), origins_XH (L,B,2nb)) — int16/int32 provenance
-    planes (+1-offset codes, match bit packed on the M half) for the
-    analytics-fused gather traceback.  L must be a multiple of T_BLK
-    (viterbi_pallas_batch pads)."""
-    B, L = seqs.shape
+    """Fused forward over ALL chunks in one kernel: seqs (nc, cb, L),
+    lengths (nc, cb).  Returns (best (nc, cb), best_state (nc, cb) struct
+    index, origins_MI (nc, L, cb, 2P), origins_XH (nc, L, cb, 2nb)) —
+    int16/int32 provenance planes (+1-offset codes, match bit packed on
+    the M half) in exactly the 4D layout the backward consumes.  The grid
+    is (nc, L // T_BLK) chunk-major, so per-chunk DP state re-initializes
+    at each chunk's first block and chunks run back-to-back with no
+    dispatch gap.  L must be a multiple of T_BLK (viterbi_pallas_batch
+    pads)."""
+    nc, cb, L = seqs.shape
     P2 = pm.PM2.shape[1]
     nb2 = pm.PB2.shape[1]
     origin_dtype, _ = _origin_params(P2 // 2, nb2 // 2)
     assert L % T_BLK == 0, (L, T_BLK)
     seq1h = jax.nn.one_hot(jnp.clip(seqs.astype(jnp.int32), 0, 3), 4,
-                           dtype=jnp.float32)               # (B, L, 4)
-    seq1h = jnp.transpose(seq1h, (1, 0, 2))                 # (L, B, 4)
-    lengths2 = lengths.astype(jnp.int32)[:, None]           # (B, 1)
+                           dtype=jnp.float32)               # (nc, cb, L, 4)
+    seq1h = jnp.transpose(seq1h, (0, 2, 1, 3))              # (nc, L, cb, 4)
+    lengths2 = lengths.astype(jnp.int32)[:, :, None]        # (nc, cb, 1)
 
     in_specs = [
-            pl.BlockSpec((T_BLK, B, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, T_BLK, cb, 4), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths
+            pl.BlockSpec((1, cb, 1), lambda c, i: (c, 0, 0),
+                         memory_space=pltpu.VMEM),  # lengths
             pl.BlockSpec(memory_space=pltpu.VMEM),  # PM2
             pl.BlockSpec(memory_space=pltpu.VMEM),  # PB2
             pl.BlockSpec(memory_space=pltpu.VMEM),  # EMB
@@ -528,39 +542,39 @@ def pallas_fused_forward(pm: PallasStructModel, seqs, lengths,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r_unit
     ]
     out_specs = [
-        pl.BlockSpec((T_BLK, B, P2), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, T_BLK, cb, P2), lambda c, i: (c, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((T_BLK, B, nb2), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, T_BLK, cb, nb2), lambda c, i: (c, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, 1), lambda i: (0, 0),
+        pl.BlockSpec((1, cb, 1), lambda c, i: (c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, 1), lambda i: (0, 0),
+        pl.BlockSpec((1, cb, 1), lambda c, i: (c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     oMI, oXH, best, bstate = pl.pallas_call(
         _fused_kernel,
-        grid=(L // T_BLK,),
+        grid=(nc, L // T_BLK),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((L, B, P2), origin_dtype),
-            jax.ShapeDtypeStruct((L, B, nb2), origin_dtype),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nc, L, cb, P2), origin_dtype),
+            jax.ShapeDtypeStruct((nc, L, cb, nb2), origin_dtype),
+            jax.ShapeDtypeStruct((nc, cb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nc, cb, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, P2), jnp.float32),   # MI
-            pltpu.VMEM((B, P2 // 2), jnp.float32),   # D
-            pltpu.VMEM((B, P2 // 2), jnp.float32),   # D origins
-            pltpu.VMEM((B, nb2), jnp.float32),  # XH = [I0 | hub]
-            pltpu.VMEM((B, nb2 // 2), jnp.float32),  # prev hub origins
+            pltpu.VMEM((cb, P2), jnp.float32),   # MI
+            pltpu.VMEM((cb, P2 // 2), jnp.float32),   # D
+            pltpu.VMEM((cb, P2 // 2), jnp.float32),   # D origins
+            pltpu.VMEM((cb, nb2), jnp.float32),  # XH = [I0 | hub]
+            pltpu.VMEM((cb, nb2 // 2), jnp.float32),  # prev hub origins
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(seq1h, lengths2, pm.PM2, pm.PB2, pm.EMB, pm.Wd2, pm.Wu, pm.W_hio,
       pm.W_i0e, pm.W_hube, pm.ulsuf, pm.r_unit)
-    return best[:, 0], bstate[:, 0], oMI, oXH
+    return best[:, :, 0], bstate[:, :, 0], oMI, oXH
 
 
 def _make_backward_kernel(P: int, nb: int, mbit: int):
@@ -813,9 +827,8 @@ def _pallas_pipeline(pm: PallasStructModel, seqs, lengths,
         nc, cb = B // chunk_b, chunk_b
     seqs_c = seqs.reshape(nc, cb, L)
     lengths_c = lengths.reshape(nc, cb)
-    best, bstate, oMI, oXH = jax.vmap(
-        lambda q, ln: pallas_fused_forward(pm, q, ln, interpret=interpret)
-    )(seqs_c, lengths_c)
+    best, bstate, oMI, oXH = pallas_fused_forward(
+        pm, seqs_c, lengths_c, interpret=interpret)
     path, stats = pallas_backward_stats(
         pm, lengths, bstate.reshape(B), oMI, oXH, interpret=interpret)
     best = best.reshape(B)

@@ -65,14 +65,12 @@ def main():
 
     @jax.jit
     def fwd_only(q, ln):
-        best, bstate, oMI, oXH = jax.vmap(
-            lambda s, l: pv.pallas_fused_forward(pm, s, l))(q, ln)
+        best, bstate, oMI, oXH = pv.pallas_fused_forward(pm, q, ln)
         return best
 
     @jax.jit
     def fwd_bwd(q, ln, ln_flat):
-        best, bstate, oMI, oXH = jax.vmap(
-            lambda s, l: pv.pallas_fused_forward(pm, s, l))(q, ln)
+        best, bstate, oMI, oXH = pv.pallas_fused_forward(pm, q, ln)
         path, stats = pv.pallas_backward_stats(
             pm, ln_flat, bstate.reshape(-1), oMI, oXH)
         return best, stats

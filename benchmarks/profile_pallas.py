@@ -81,12 +81,14 @@ def main():
     dt = timeit(lambda: fwd_only(seqs_c, lengths_c),
                 lambda o: np.asarray(o))
     print(f"forward : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms) "
-          f"nc={nc} cb={cb} T_BLK={pv.T_BLK}")
+          f"nc={nc} cb={cb} T_BLK={pv.T_BLK}", flush=True)
+    if "--fwd-only" in sys.argv:
+        return
     dt = timeit(lambda: fwd_bwd(seqs_c, lengths_c, lengths_d),
                 lambda o: (np.asarray(o[0]), np.asarray(o[1])))
-    print(f"fwd+bwd : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms)")
+    print(f"fwd+bwd : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms)", flush=True)
     dt = timeit(fused, lambda o: np.asarray(o["logp"]))
-    print(f"fused   : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms)")
+    print(f"fused   : {B/dt:8.0f} reads/s ({dt*1e3:7.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":

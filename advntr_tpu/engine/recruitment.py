@@ -32,12 +32,22 @@ def keywords_for_locus(ref_vntr, short_reads: bool = True,
         # the same flank probes into stepped 15-mers so a noisy long read
         # overlapping a flank accumulates several exact short hits through
         # the one batched counting kernel (no host re-verification pass).
+        # Probe density and orientation are chosen for the long-read error
+        # model (~1% sub + 4% ins + 4% del): a 15-mer survives intact with
+        # p ~ 0.91^15 ~ 0.24, so step-5 forward-only probes (~28/locus)
+        # leave a ~25-30% per-read dropout at the >=5-hit gate and reverse
+        # -orientation reads recruit NOTHING.  Step 2 (~66 probes/flank
+        # pair) pushes expected intact hits to ~16, and the reverse
+        # -complement probe set recruits the other orientation (the
+        # spanning extractor already decodes both orientations).
         k = 15
+        from advntr_tpu.dna import revcomp
         probes = [ref_vntr.left_flanking_region[-80:],
                   ref_vntr.right_flanking_region[:80]]
+        probes += [revcomp(p) for p in probes]
         queries = [p[i:i + k]
                    for p in probes
-                   for i in range(0, max(1, len(p) - k + 1), 5)]
+                   for i in range(0, max(1, len(p) - k + 1), 2)]
     return set(queries)
 
 
@@ -51,6 +61,13 @@ def build_recruitment_filter(ref_vntrs, target_ids, short_reads: bool = True,
         keywords[vid] = keywords_for_locus(by_id[vid], short_reads,
                                            keyword_size)
     k = min(keyword_size, 15)
+    if not short_reads:
+        # long reads: a spanning read whose end lands mid-flank covers
+        # only ~half the probe windows, and indel noise thins exact
+        # 15-mer survival to ~0.24 — demanding 5 hits drops real spanning
+        # reads whose evidence the decoder can still use.  3 hits of the
+        # ~132-probe set is still ~1e-4 random-hit probability per read.
+        min_matches = min(min_matches, 3)
     return RecruitmentFilter(keywords, k=k, min_matches=min_matches,
                              max_reads_per_locus=max_reads_per_locus)
 

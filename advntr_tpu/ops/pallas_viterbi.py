@@ -838,18 +838,34 @@ def _pallas_pipeline(pm: PallasStructModel, seqs, lengths,
     return best, bstate, path, stats
 
 
+def _pad_batch_floor(seqs, lengths, floor: int = 8):
+    """Pad the batch axis up to one sublane tile: Mosaic cannot lower the
+    kernel's lane concats for sublane-1 blocks (B=1 singleton length
+    buckets from spanning-read scoring fail with 'result/input offset
+    mismatch on non-concat dimension'); padded rows carry length 1 and
+    are sliced off by the caller."""
+    B = seqs.shape[0]
+    if B >= floor:
+        return seqs, lengths, B
+    seqs = jnp.pad(seqs, ((0, floor - B), (0, 0)))
+    lengths = jnp.pad(lengths, (0, floor - B), constant_values=1)
+    return seqs, lengths, B
+
+
 @functools.partial(jax.jit, static_argnames=("return_path", "interpret"))
 def viterbi_pallas_batch(model_arrays, seqs, lengths,
                          return_path: bool = True, interpret: bool = False):
     """Pallas fused forward + gather traceback; same contract as
     viterbi_struct_batch (artifact-space path indices)."""
     pm = PallasStructModel(*model_arrays)
+    seqs, lengths, B_out = _pad_batch_floor(seqs, lengths)
     B, L = seqs.shape
     L_pad = ((L + T_BLK - 1) // T_BLK) * T_BLK
     if L_pad != L:
         seqs = jnp.pad(seqs, ((0, 0), (0, L_pad - L)))
     best, bstate, path_s, _ = _pallas_pipeline(pm, seqs, lengths,
                                                interpret=interpret)
+    best, bstate, path_s = (best[:B_out], bstate[:B_out], path_s[:B_out])
     end_state = jnp.take(pm.struct_to_art, bstate)
     if not return_path:
         return best, end_state, None
@@ -888,12 +904,14 @@ def viterbi_pallas_stats(model_arrays, seqs, lengths,
     """Fully-fused production pipeline: Viterbi + traceback + per-read
     analytics on device, returning the analytics dict of (B,) arrays."""
     pm = PallasStructModel(*model_arrays)
+    seqs, lengths, B_out = _pad_batch_floor(seqs, lengths)
     B, L = seqs.shape
     L_pad = ((L + T_BLK - 1) // T_BLK) * T_BLK
     if L_pad != L:
         seqs = jnp.pad(seqs, ((0, 0), (0, L_pad - L)))
     best, bstate, path_s, stats = _pallas_pipeline(pm, seqs, lengths,
                                                    interpret=interpret)
+    best, path_s, stats = best[:B_out], path_s[:B_out], stats[:B_out]
     path = None
     if return_path:
         path = jnp.take(pm.struct_to_art, path_s)[:, :L]

@@ -88,14 +88,17 @@ def test_keyword_generation_semantics():
     # (the reference's raw 80-mers could never reach its own >=5-occurrence
     # gate, filtering/main.cc:17,282 — see recruitment.keywords_for_locus)
     long_kws = keywords_for_locus(ref, short_reads=False)
-    assert long_kws == {"A" * 15, "G" * 15}
+    # both orientations: A/G flanks plus their T/C reverse complements
+    assert long_kws == {"A" * 15, "G" * 15, "T" * 15, "C" * 15}
     ref2 = ReferenceVNTR(2, "CACAGT", 1000, "chr1")
     ref2.repeat_segments = ["CACAGT"] * 3
     ref2.left_flanking_region = "AC" * 40
     ref2.right_flanking_region = "GT" * 40
     long_kws2 = keywords_for_locus(ref2, short_reads=False)
     assert all(len(k) == 15 for k in long_kws2)
+    from advntr_tpu.dna import revcomp
     left80, right80 = ("AC" * 40)[-80:], ("GT" * 40)[:80]
-    assert long_kws2 == (
-        {left80[i:i + 15] for i in range(0, 66, 5)}
-        | {right80[i:i + 15] for i in range(0, 66, 5)})
+    expect2 = set()
+    for p in (left80, right80, revcomp(left80), revcomp(right80)):
+        expect2 |= {p[i:i + 15] for i in range(0, 66, 2)}
+    assert long_kws2 == expect2

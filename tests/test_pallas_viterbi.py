@@ -295,3 +295,45 @@ def test_analyzer_grouped_dispatch_pallas_kernel(monkeypatch, tmp_path,
     errors = [r for r in caplog.records if r.levelno >= _logging.ERROR]
     assert not errors, [r.getMessage() for r in errors]
     assert buf.getvalue().strip().splitlines() == ["56", "2/4"]
+
+
+def test_singleton_batch_pads_to_sublane_tile():
+    """B=1 batches (singleton spanning-read length buckets) must pad to a
+    full sublane tile: Mosaic rejects the kernel's lane concats at
+    sublane-1 blocks on hardware, and results must match the struct
+    kernel after the pad is sliced off."""
+    import numpy as np
+    import jax.numpy as jnp
+    from advntr_tpu import dna
+    from advntr_tpu.engine import device_analytics as da
+    from advntr_tpu.engine.finder import LocusModelCache
+    from bench import build_locus, simulate_reads
+
+    from advntr_tpu.models.struct_compiler import (build_structured,
+                                                   pad_structured)
+    from advntr_tpu.ops.pallas_viterbi import PallasStructModel
+    from advntr_tpu.engine.finder import _round_up
+
+    graph, art, left, right, pattern = build_locus(100)
+    reads = simulate_reads(left, pattern, right, 100, 1)
+    cache = LocusModelCache()
+    lm = cache._build(graph, art)
+    sm = build_structured(graph, art)
+    sm = pad_structured(sm, art, _round_up(sm.P + 1, 128),
+                        _round_up(sm.C, 8))
+    pallas = PallasStructModel.from_struct(sm, art)
+    rows = [dna.encode(r) for r in reads]
+    batch, lengths = dna.pad_batch(rows, pad_to=100, multiple=32)
+    assert batch.shape[0] == 1
+    out = da.read_stats_pallas(pallas.flat(), lm.meta,
+                               jnp.asarray(batch), jnp.asarray(lengths),
+                               interpret=True)
+    ref = da.read_stats_struct(lm.struct_model().flat(), lm.meta,
+                               jnp.asarray(batch), jnp.asarray(lengths),
+                               lm.suffix_last)
+    for k in ("repeats", "n_matches", "repeat_bp"):
+        assert np.array_equal(np.asarray(out[k]), np.asarray(ref[k])), k
+    np.testing.assert_allclose(np.asarray(out["logp"]),
+                               np.asarray(ref["logp"]), rtol=1e-4,
+                               atol=1e-2)
+    assert out["logp"].shape == (1,)

@@ -338,6 +338,10 @@ class GenomeAnalyzer:
                                                update: bool = False) -> dict:
         if average_coverage:
             self._attach_coverage_corrector(alignment_file)
+        # per-run state: an analyzer reused for a second alignment file
+        # must not carry the previous run's fallback vids (a stale list
+        # re-triggers the FAST-PATH DEGRADATION alarm on a clean run)
+        self.grouped_fallback_vids = []
         ckpt_path = self._checkpoint_path(alignment_file)
         done = self._load_checkpoint(ckpt_path)
         pending = [vid for vid in self.target_vntr_ids if vid not in done]
@@ -436,7 +440,14 @@ class GenomeAnalyzer:
         fd = os.open(ckpt_path, os.O_WRONLY | os.O_APPEND | os.O_CREAT,
                      0o644)
         try:
-            os.write(fd, data)
+            written = os.write(fd, data)
+            # POSIX allows short writes on regular files (e.g. disk full);
+            # a torn record would be skipped by _load_checkpoint, but loop
+            # to completion so a transient short write loses nothing
+            while written < len(data):
+                logging.warning("short checkpoint write (%d/%d bytes); "
+                                "continuing", written, len(data))
+                written += os.write(fd, data[written:])
         finally:
             os.close(fd)
 

@@ -21,8 +21,22 @@ flank-pattern homology), not a kernel or engine defect.
 Usage:
   python benchmarks/mismatch_oracle.py out.json VID [VID...]
   python benchmarks/mismatch_oracle.py out.json --from-file mismatches.txt
-Optional: --no-guard certifies with the homology spanning guard disabled
-(strict reference-default gates).
+  python benchmarks/mismatch_oracle.py out.json --from-json mismatches.json
+Optional flags:
+  --no-guard        certify with the homology spanning guard disabled
+                    (strict reference-default gates)
+  --panel-size N    panel generator size (default 6719; genome-scale runs
+                    use the same seed-1234 generator at larger N, so the
+                    locus at a given vid is identical across sizes)
+  --coverage C      simulated coverage (default 30; the genome-scale slice
+                    runs at 15 — the oracle must decode the same reads)
+  --sample K        certify only a K-locus random sample of the input list
+                    (seeded; for the large evidence-thinness class)
+  --sample-seed S   sample seed (default 7)
+With --from-json (a [[vid, expected, pipeline_call], ...] list as written
+by panel_bench/genome_scale_bench), each record also carries
+`pipeline_genotype`, making oracle==pipeline checkable from the fixture
+alone.
 """
 
 import json
@@ -33,7 +47,7 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def certify_locus(ref, alleles, idx, config, read_len=150, coverage=30):
+def certify_locus(ref, alleles, idx, config, read_len=150, coverage=30.0):
     import numpy as np
     from advntr_tpu import dna
     from advntr_tpu.engine import analytics as an
@@ -128,32 +142,65 @@ def main():
     out_path = sys.argv[1]
     args = sys.argv[2:]
     config = Config()
+
+    def pop_flag(name, default=None, cast=str):
+        if name in args:
+            i = args.index(name)
+            val = cast(args[i + 1])
+            del args[i:i + 2]
+            return val
+        return default
+
     if "--no-guard" in args:
         args.remove("--no-guard")
         config = dataclasses.replace(config, spanning_homology_guard=False)
+    panel_size = pop_flag("--panel-size", 6719, int)
+    coverage = pop_flag("--coverage", 30.0, float)
+    sample_k = pop_flag("--sample", None, int)
+    sample_seed = pop_flag("--sample-seed", 7, int)
+
+    pipeline_calls = {}
     if args and args[0] == "--from-file":
         with open(args[1]) as fh:
             vids = [int(l.split()[0]) for l in fh if l.strip()]
+    elif args and args[0] == "--from-json":
+        with open(args[1]) as fh:
+            triples = json.load(fh)
+        vids = [int(v) for v, _, _ in triples]
+        pipeline_calls = {int(v): call for v, _, call in triples}
     else:
         vids = [int(a) for a in args]
+    if sample_k is not None and sample_k < len(vids):
+        import random
+        vids = sorted(random.Random(sample_seed).sample(vids, sample_k))
 
-    panel = make_panel(6719)
+    panel = make_panel(panel_size)
     by_vid = {ref.id: (ref, alleles, i)
               for i, (ref, alleles) in enumerate(panel)}
     records = []
     for vid in vids:
         ref, alleles, idx = by_vid[vid]
-        rec = certify_locus(ref, alleles, idx, config)
+        rec = certify_locus(ref, alleles, idx, config, coverage=coverage)
         rec["oracle_matches_truth"] = (rec["oracle_genotype"]
                                        == sorted(alleles))
+        if vid in pipeline_calls:
+            call = pipeline_calls[vid]
+            rec["pipeline_genotype"] = (
+                None if call in (None, "None")
+                else sorted(int(x) for x in call.split("/")))
         records.append(rec)
         print(json.dumps(rec), flush=True)
     with open(out_path, "w") as fh:
         json.dump(records, fh, indent=1)
     n_match = sum(1 for r in records if r["oracle_matches_truth"])
-    print(f"# {len(records)} loci certified; oracle==truth at {n_match}, "
-          f"oracle!=truth (evidence-limited, reference-identical) at "
-          f"{len(records) - n_match}", file=sys.stderr)
+    msg = (f"# {len(records)} loci certified; oracle==truth at {n_match}, "
+           f"oracle!=truth (evidence-limited, reference-identical) at "
+           f"{len(records) - n_match}")
+    if pipeline_calls:
+        n_agree = sum(1 for r in records
+                      if r.get("pipeline_genotype") == r["oracle_genotype"])
+        msg += f"; oracle==pipeline at {n_agree}/{len(records)}"
+    print(msg, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -114,11 +114,13 @@ def main():
     cpu_rate = sorted(rates)[1]
 
     # The in-run baseline underreads when this shared 2-core host is busy;
-    # 650 reads/s is the isolated single-core rate measured for EXACTLY this
-    # configuration (n_states=927, B=4096, L=150; PERF_NOTES).  Apply it
-    # only when the config matches the calibration — any other geometry
-    # falls back to the honest in-run measurement.
-    ISOLATED_CPU_RATE = 650.0
+    # 632 reads/s is the isolated single-core rate measured for EXACTLY this
+    # configuration (n_states=927, B=4096, L=150): median of 12 trials over
+    # two isolated sessions, stdev <6 reads/s (PERF_NOTES round-5;
+    # benchmarks/cpu_baseline_calibration.py).  Apply it only when the
+    # config matches the calibration — any other geometry falls back to the
+    # honest in-run measurement.
+    ISOLATED_CPU_RATE = 632.0
     calibrated = (art.n_states == 927 and B == 4096 and read_length == 150)
     baseline = max(cpu_rate, ISOLATED_CPU_RATE) if calibrated else cpu_rate
     result = {
@@ -132,7 +134,7 @@ def main():
     print(f"# device: {jax.devices()[0].platform} "
           f"n_states={art.n_states} B={B} L={read_length} "
           f"cpu_baseline={cpu_rate:.1f} reads/s in-run, "
-          f"{ISOLATED_CPU_RATE:.0f} reads/s isolated (PERF_NOTES); "
+          f"{ISOLATED_CPU_RATE:.0f} reads/s isolated (calibrated); "
           f"per-iter-synced {synced_rate:.0f} reads/s",
           file=sys.stderr)
 

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                        default=None)
     other.add_argument("-t", "--threads", type=int, metavar="<int>", default=1)
     other.add_argument("-u", "--update", action="store_true", default=False)
+    other.add_argument("--em", action="store_true", default=False,
+                       help="with --update: Baum-Welch (posterior) model "
+                            "re-estimation instead of Viterbi-path "
+                            "recounting")
     other.add_argument("-vid", "--vntr_id", type=str, metavar="<text>",
                        default=None, help="comma-separated list of VNTR IDs")
 
@@ -177,7 +181,8 @@ def genotype(args) -> None:
         elif input_is_alignment:
             analyzer.find_repeat_counts_from_alignment_file(
                 input_file, accuracy_filter=args.accuracy_filter,
-                average_coverage=average_coverage, update=args.update)
+                average_coverage=average_coverage, update=args.update,
+                em=args.em)
         else:
             _err("The input file format is not supported for Illumina. "
                  "Please use BAM/SAM files.")

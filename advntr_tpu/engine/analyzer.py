@@ -335,7 +335,8 @@ class GenomeAnalyzer:
     def find_repeat_counts_from_alignment_file(self, alignment_file: str,
                                                accuracy_filter: bool = False,
                                                average_coverage=None,
-                                               update: bool = False) -> dict:
+                                               update: bool = False,
+                                               em: bool = False) -> dict:
         if average_coverage:
             self._attach_coverage_corrector(alignment_file)
         # per-run state: an analyzer reused for a second alignment file
@@ -373,7 +374,7 @@ class GenomeAnalyzer:
                         results.update(self._genotype_loci_grouped(
                             bam, unmapped_by_vid, read_length,
                             accuracy_filter, average_coverage, update,
-                            ckpt_path=ckpt_path))
+                            em=em, ckpt_path=ckpt_path))
                         for vid in wave:
                             finder = self.vntr_finder[vid]
                             self.model_cache.evict(
@@ -453,7 +454,8 @@ class GenomeAnalyzer:
 
     def _genotype_loci_grouped(self, bam, unmapped_by_vid, read_length,
                                accuracy_filter, average_coverage, update,
-                               group_size: int = 8, ckpt_path=None):
+                               em: bool = False, group_size: int = 8,
+                               ckpt_path=None):
         """Per-locus prep on host, then same-bucket loci scored as grouped
         device calls (one executable per bucket, G loci per dispatch)."""
         from collections import defaultdict
@@ -477,7 +479,8 @@ class GenomeAnalyzer:
                         mapped, unmapped_by_vid[vid],
                         read_length=read_length,
                         accuracy_filter=accuracy_filter,
-                        average_coverage=average_coverage, update=True),
+                        average_coverage=average_coverage, update=True,
+                        em=em),
                         False)
                     continue
                 lm = finder.get_model(read_length)

@@ -844,19 +844,74 @@ class VNTRFinder:
                                             read_length, model=updated)
         return new_selected
 
+    def em_update_and_reselect(self, mapped_reads, unmapped_reads,
+                               read_length: int, max_iters: int = 5):
+        """EM-based model update (``--update --em``): select reads, run
+        batched Baum-Welch over their sequences (ops/baum_welch.py), fold
+        the EM-updated repeat-unit emissions back into the profile
+        (averaged across unit copies), rebuild the model, and re-select.
+
+        Emission-only by design: EM runs on the silent-eliminated
+        first-order model, whose transitions close delete chains away, so
+        only the emission rows map bijectively back onto profile states
+        (M{i}/I{i}); transitions keep the reference profile estimation.
+        Reference capability: pomegranate hmm.pyx:2369 ``fit`` (the
+        reference runtime's own EM calls are commented out,
+        hmm_utils.py:676-678)."""
+        import re
+        selected, _ = self.select_reads(mapped_reads, unmapped_reads,
+                                        read_length)
+        if not selected:
+            return selected
+        out = self.em_update([r.sequence for r in selected], read_length,
+                             max_iters=max_iters)
+        E = np.exp(np.asarray(out["log_E"], dtype=np.float64))
+        # aggregate repeat-region states M{i}_{copy}/I{i}_{copy} (copy is a
+        # bare integer; flank states carry _suffix/_prefix) per unit position
+        agg: dict[str, list[np.ndarray]] = {}
+        for row, name in zip(E, out["names"]):
+            m = re.fullmatch(r"([MI])(\d+)_(\d+)", name)
+            if m:
+                agg.setdefault(f"{m.group(1)}{m.group(2)}", []).append(row)
+        if not agg:
+            return selected
+        trans, emis = profile_for_repeats(
+            list(self.reference_vntr.get_repeat_segments()),
+            self.config.max_error_rate)
+        for key, rows_ in agg.items():
+            if key in emis:
+                mean = np.mean(rows_, axis=0)
+                mean = mean / mean.sum()
+                emis[key] = {b: float(mean[dna.encode(b)[0]])
+                             for b in "ACGT"}
+        left = self.reference_vntr.left_flanking_region[-read_length:]
+        right = self.reference_vntr.right_flanking_region[:read_length]
+        g = build_read_matcher(left, right, trans, emis,
+                               self.get_copies_for_hmm(read_length),
+                               self.config.max_error_rate)
+        updated = self.cache._build(g, compile_graph(g))
+        new_selected, _ = self.select_reads(mapped_reads, unmapped_reads,
+                                            read_length, model=updated)
+        return new_selected
+
     @time_usage
     def find_repeat_count(self, mapped_reads, unmapped_reads,
                           read_length: int | None = None,
                           accuracy_filter: bool = False,
                           average_coverage=None,
-                          update: bool = False) -> GenotypeResult:
+                          update: bool = False,
+                          em: bool = False) -> GenotypeResult:
         """Genotype from candidate reads
         (reference: find_repeat_count_from_alignment_file,
         vntr_finder.py:789-887)."""
         if read_length is None:
             lens = sorted(len(s) for _, s in (mapped_reads + unmapped_reads)[:5])
             read_length = lens[len(lens) // 2] if lens else 150
-        if update:
+        if update and em:
+            selected = self.em_update_and_reselect(mapped_reads,
+                                                   unmapped_reads,
+                                                   read_length)
+        elif update:
             selected = self.update_and_reselect(mapped_reads, unmapped_reads,
                                                 read_length)
         else:

@@ -173,3 +173,34 @@ def test_em_update_tracks_viterbi_update_direction():
     trans, emis = profile_from_alignment(0.05, alignment)
     m11 = emis["M11"]
     assert m11.get("T", 0.0) > m11.get("A", 0.0)
+
+
+def test_em_update_genotype_stability_vs_viterbi_update():
+    """--update --em conformance (round-4 verdict item 8): on a clean
+    panel locus, the EM-updated model, the Viterbi-path-updated model,
+    and the unchanged model must all genotype identically — model
+    re-estimation refines parameters, it must not move a well-supported
+    call (reference --update semantics: vntr_finder.py:668-698)."""
+    from advntr_tpu.engine.finder import VNTRFinder
+    from advntr_tpu.engine.simulate import simulate_diploid_reads
+    from advntr_tpu.models.reference_vntr import ReferenceVNTR
+
+    rng = random.Random(17)
+    pattern = "CGCGGGGCGGGG"
+    left = "".join(rng.choice("ACGT") for _ in range(120))
+    right = "".join(rng.choice("ACGT") for _ in range(120))
+    ref = ReferenceVNTR(12, pattern, 1000, "chr1")
+    ref.repeat_segments = [pattern] * 3
+    ref.left_flanking_region = left
+    ref.right_flanking_region = right
+    reads, _, _ = simulate_diploid_reads(left, pattern, 2, 3, right,
+                                         read_length=60, coverage=25,
+                                         error_rate=0.002, seed=6)
+    finder = VNTRFinder(ref, Config())
+    plain = finder.find_repeat_count([], reads, read_length=60)
+    vit = finder.find_repeat_count([], reads, read_length=60, update=True)
+    em = finder.find_repeat_count([], reads, read_length=60, update=True,
+                                  em=True)
+    assert sorted(plain.copy_numbers) == [2, 3]
+    assert sorted(vit.copy_numbers) == sorted(plain.copy_numbers)
+    assert sorted(em.copy_numbers) == sorted(plain.copy_numbers)

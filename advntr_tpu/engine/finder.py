@@ -258,11 +258,22 @@ class LocusModelCache:
             sm = build_structured(g, art)
         return self._build_from_payload(art, sm)
 
+    @staticmethod
+    def _coarse_bucket(size: int, bucket: int) -> int:
+        """Coarsen shape buckets above the Illumina scale: axes past 1024
+        pad to 512-multiples (PacBio tract-length spread would otherwise
+        compile one executable per locus); Illumina-panel shapes
+        (n_states<=1024, P<=512) keep the fine default buckets and their
+        existing executables."""
+        return max(bucket, 512) if size > 1024 else bucket
+
     def _build_from_payload(self, art, sm) -> LocusModel:
         import jax.numpy as jnp
         # metadata vectors padded to the state bucket so same-bucket loci
         # can stack into one grouped executable
-        n_pad = _round_up(art.n_states, self.state_bucket)
+        n_pad = _round_up(art.n_states,
+                          self._coarse_bucket(art.n_states,
+                                              self.state_bucket))
         meta = tuple(
             jnp.asarray(_pad_vector(v, n_pad, fill))
             for v, fill in ((art.kind, 3), (art.region, 3),
@@ -272,8 +283,10 @@ class LocusModelCache:
         suffix_last = -1
         if self.use_struct and sm is not None:
             from advntr_tpu.models.struct_compiler import pad_structured
-            P_pad = _round_up(sm.P + 1, self.pos_bucket)
-            C_pad = _round_up(sm.C, self.unit_bucket)
+            P_pad = _round_up(sm.P + 1,
+                              self._coarse_bucket(sm.P + 1, self.pos_bucket))
+            C_pad = _round_up(sm.C, self.unit_bucket if sm.C <= 24
+                              else max(self.unit_bucket, 32))
             sm = pad_structured(sm, art, P_pad, C_pad)
             suffix_last = sm.suffix_last
             if _default_kernel() == "pallas":
@@ -559,7 +572,19 @@ class VNTRFinder:
     @staticmethod
     def pad_rows(rows, length_bucket: int = 32, pad_to: int | None = None,
                  b_pad: int | None = None):
-        """Pad rows into a (B, L) batch with bucketed dimensions."""
+        """Pad rows into a (B, L) batch with bucketed dimensions.
+
+        Without an explicit pad_to, the length bucket coarsens with read
+        length (<=256: 32-multiples; <=1024: 128; beyond: 512) so a panel
+        of varied PacBio window lengths lands in a handful of executables
+        instead of one Mosaic compile per locus; Illumina-length reads are
+        unaffected."""
+        if pad_to is None and rows:
+            maxlen = max(len(r) for r in rows)
+            if maxlen > 1024:
+                length_bucket = max(length_bucket, 512)
+            elif maxlen > 256:
+                length_bucket = max(length_bucket, 128)
         batch, lengths = dna.pad_batch(rows, pad_to=pad_to,
                                        multiple=length_bucket)
         if b_pad is None:

@@ -106,20 +106,47 @@ def _count_hits(codes_table, locus_ids, seqs, lengths, k: int, n_loci: int,
     return counts
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_loci", "max_dup", "top_m"))
+def _count_topk(codes_table, locus_ids, seqs, lengths, k: int, n_loci: int,
+                max_dup: int, top_m: int):
+    """Count hits and compact ON DEVICE to each read's top-``top_m`` loci.
+
+    The dense (B, n_loci) counts plane never leaves the device: at
+    genome-wide bank sizes (158,522 loci) it is ~650 KB *per read*, which
+    would saturate any host link; a recruited read matches a handful of
+    loci at most (max 3 loci share a 15-mer in the genome-wide bank,
+    PERF_NOTES round-4), so (B, top_m) values+indices lose nothing and
+    shrink the transfer by ~4 orders of magnitude."""
+    counts = _count_hits(codes_table, locus_ids, seqs, lengths,
+                         k=k, n_loci=n_loci, max_dup=max_dup)
+    vals, idx = jax.lax.top_k(counts, top_m)
+    return vals.astype(jnp.int32), idx.astype(jnp.int32)
+
+
 class RecruitmentFilter:
     """Multi-locus read recruitment with per-locus caps and ranking
     (behavioral contract of filtering/main.cc:229-331)."""
 
     def __init__(self, keywords_per_locus: dict, k: int = 15,
-                 min_matches: int = 5, max_reads_per_locus: int = 2000):
+                 min_matches: int = 5, max_reads_per_locus: int = 2000,
+                 top_m: int = 16):
         self.table = build_keyword_table(keywords_per_locus, k)
         self.min_matches = min_matches
         self.max_reads_per_locus = max_reads_per_locus
+        # device-side top-M compaction (short-keyword banks only; the
+        # long-probe PacBio path needs any-hit pairs for host verification
+        # and its dense plane is small)
+        self.top_m = top_m
         self._codes_dev = jnp.asarray(self.table.codes)
         self._locus_dev = jnp.asarray(self.table.locus_ids)
         # accumulated results: locus -> {read_name: count}
         self._hits: dict = {locus: {} for locus in self.table.loci}
         self._sequences: dict = {}
+        # queued device work: (names, seqs, vals_dev, idx_dev) — collected
+        # in dispatch order so the device pipelines chunks back-to-back
+        # without a host sync per chunk
+        self._inflight: list = []
         self._full_by_locus: dict[int, list[str]] | None = None
         if self.table.needs_verify:
             self._full_by_locus = {}
@@ -155,6 +182,18 @@ class RecruitmentFilter:
             batch = np.concatenate([batch, pad])
             lengths = np.concatenate(
                 [lengths, np.zeros(b_pad - len(rows), dtype=lengths.dtype)])
+        n_loci = len(self.table.loci)
+        if self._full_by_locus is None and n_loci > self.top_m:
+            # short-keyword path: device-side top-M compaction, queued
+            # asynchronously (no per-chunk host sync — the tunnel RTT and
+            # the (B, n_loci) plane transfer would dominate at genome
+            # scale, see _count_topk)
+            vals, idx = _count_topk(
+                self._codes_dev, self._locus_dev, jnp.asarray(batch),
+                jnp.asarray(lengths), self.table.k, n_loci,
+                self.table.max_dup, self.top_m)
+            self._inflight.append((names, seqs, vals, idx))
+            return
         counts = np.asarray(_count_hits(
             self._codes_dev, self._locus_dev, jnp.asarray(batch),
             jnp.asarray(lengths), self.table.k, len(self.table.loci),
@@ -187,9 +226,27 @@ class RecruitmentFilter:
             bucket[names[b]] = int(counts[b, li])
             self._sequences[names[b]] = seqs[b]
 
+    def _drain(self) -> None:
+        """Collect queued top-M results in dispatch order (one host sync
+        per chunk output of ~KBs, overlapped with later chunks' device
+        compute)."""
+        for names, seqs, vals, idx in self._inflight:
+            vals = np.asarray(vals)[: len(names)]
+            idx = np.asarray(idx)[: len(names)]
+            rb, rm = np.nonzero(vals >= self.min_matches)
+            for b, m in zip(rb, rm):
+                locus = self.table.loci[int(idx[b, m])]
+                bucket = self._hits[locus]
+                if len(bucket) > self.max_reads_per_locus * 3:
+                    continue
+                bucket[names[b]] = int(vals[b, m])
+                self._sequences[names[b]] = seqs[b]
+        self._inflight = []
+
     def results(self):
         """{locus: [(read_name, count), ...] ranked by count desc, capped},
         plus {read_name: sequence} for every reported read."""
+        self._drain()
         out = {}
         reported = {}
         for locus, bucket in self._hits.items():

@@ -102,3 +102,46 @@ def test_keyword_generation_semantics():
     for p in (left80, right80, revcomp(left80), revcomp(right80)):
         expect2 |= {p[i:i + 15] for i in range(0, 66, 2)}
     assert long_kws2 == expect2
+
+
+def test_topk_path_matches_dense_counts():
+    """Device-side top-M compaction (n_loci > top_m, short keywords) must
+    report exactly the reads/counts the dense-counts path reports — the
+    compaction changes the transfer, never the result."""
+    import random
+    rng = random.Random(3)
+    keywords = {}
+    for li in range(24):
+        kws = set()
+        while len(kws) < 4:
+            kws.add("".join(rng.choice("ACGT") for _ in range(15)))
+        keywords[li] = kws
+    reads = []
+    for i in range(40):
+        s = "".join(rng.choice("ACGT") for _ in range(120))
+        if i % 2 == 0:
+            # plant 5 occurrences of one locus's keywords
+            li = rng.randrange(24)
+            for j, kw in enumerate(sorted(keywords[li])):
+                p = 10 + j * 20
+                s = s[:p] + kw + s[p + 15:]
+            kw = sorted(keywords[li])[0]
+            s = s[:95] + kw + s[110:]
+        reads.append((f"r{i}", s))
+
+    names = [n for n, _ in reads]
+    seqs = [s for _, s in reads]
+
+    topk = RecruitmentFilter(keywords, k=15, min_matches=5)
+    assert topk.top_m < len(keywords)   # compaction path active
+    topk.process_batch(names, seqs)
+    res_topk, rep_topk = topk.results()
+
+    dense = RecruitmentFilter(keywords, k=15, min_matches=5,
+                              top_m=10_000)  # force dense path
+    dense.process_batch(names, seqs)
+    res_dense, rep_dense = dense.results()
+
+    assert res_topk == res_dense
+    assert rep_topk == rep_dense
+    assert any(res_dense.values())      # the test actually recruited reads

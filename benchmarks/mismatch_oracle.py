@@ -170,9 +170,17 @@ def main():
         pipeline_calls = {int(v): call for v, _, call in triples}
     else:
         vids = [int(a) for a in args]
-    if sample_k is not None and sample_k < len(vids):
+    if sample_k is not None:
+        # no-calls are always certified in full; the sample draws from the
+        # (large) called-mismatch class
         import random
-        vids = sorted(random.Random(sample_seed).sample(vids, sample_k))
+        nocalls = [v for v in vids
+                   if pipeline_calls.get(v) in (None, "None")]
+        rest = [v for v in vids if pipeline_calls.get(v)
+                not in (None, "None")]
+        if sample_k < len(rest):
+            rest = random.Random(sample_seed).sample(rest, sample_k)
+        vids = sorted(set(nocalls) | set(rest))
 
     panel = make_panel(panel_size)
     by_vid = {ref.id: (ref, alleles, i)

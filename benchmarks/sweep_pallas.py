@@ -44,13 +44,22 @@ def main():
             t_c0 = time.perf_counter()
             _ = np.asarray(run()["logp"])
             compile_s = time.perf_counter() - t_c0
+            # primary: async-queued (device pipelines iterations, one
+            # final sync — the production dispatch shape and the bench.py
+            # timing convention since round 4); per-iter-synced kept as a
+            # tunnel-RTT diagnostic
             iters = 10
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(iters)]
+            _ = np.asarray(outs[-1]["logp"])
+            dt = (time.perf_counter() - t0) / iters
             t0 = time.perf_counter()
             for _ in range(iters):
                 _ = np.asarray(run()["logp"])
-            dt = (time.perf_counter() - t0) / iters
+            dt_sync = (time.perf_counter() - t0) / iters
             print(f"CHUNK_B={chunk_b} T_BLK={t_blk}: {B/dt:8.0f} reads/s "
-                  f"({dt*1e3:.2f} ms; compile {compile_s:.0f}s)", flush=True)
+                  f"async ({dt*1e3:.2f} ms; synced {B/dt_sync:.0f}; "
+                  f"compile {compile_s:.0f}s)", flush=True)
         except Exception as e:
             print(f"CHUNK_B={chunk_b} T_BLK={t_blk}: FAILED {type(e).__name__}"
                   f" {str(e)[:200]}", flush=True)

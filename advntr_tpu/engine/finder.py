@@ -81,6 +81,11 @@ class LocusModel:
         (its (S,S) decode matrix is expensive), but the checkpointed
         long-read kernel needs one."""
         if self.struct is None and self.sm is not None:
+            if getattr(self.art, "log_T", None) is None:
+                raise RuntimeError(
+                    "slim bank payload lacks the dense tables the struct/"
+                    "ckpt kernels need; rebuild without ADVNTR_TPU_SLIM_BANK"
+                    " for this path")
             from advntr_tpu.ops.viterbi_struct import StructDeviceModel
             self.struct = StructDeviceModel.from_struct(self.sm, self.art)
         return self.struct
@@ -107,8 +112,21 @@ def _default_kernel() -> str:
         return "struct"
 
 
+# Slim bank mode: drop the O(n^2) artifact tables (dense log_T, hop/unit
+# decode matrices) from persisted payloads.  The production grouped Pallas
+# path needs only the O(n) fields (names/starts/ends/exp_base + meta
+# vectors), so a genome-scale bank shrinks ~50x (1.56 MB -> ~35 KB/locus
+# gzip'd; 158,522 loci fit in ~5 GB instead of ~242 GB, PERF_NOTES
+# round-3).  Paths that need dense tables (struct/ckpt kernels, vpath
+# re-expansion for --update/--frameshift, the dense fallback) rebuild the
+# full payload on demand via LocusModelCache.
+SLIM_BANK = os.environ.get("ADVNTR_TPU_SLIM_BANK", "0") == "1"
+_SLIM_FIELDS = ("log_T", "t_unit_starts", "t_unit_ends", "hop_choice",
+                "closure_parent")
+
+
 def build_locus_payload(ref_vntr, copies: int, flank_size: int,
-                        error_rate: float):
+                        error_rate: float, slim: bool | None = None):
     """Host-side model construction for one locus: profile estimation,
     graph build, silent-state elimination, structured extraction.
     Pure numpy output (picklable) so it can run in worker processes."""
@@ -120,6 +138,8 @@ def build_locus_payload(ref_vntr, copies: int, flank_size: int,
     g = build_read_matcher(left, right, trans, emis, copies, error_rate)
     art = compile_graph(g)
     sm = build_structured(g, art)
+    if slim if slim is not None else SLIM_BANK:
+        art = dataclasses.replace(art, **{f: None for f in _SLIM_FIELDS})
     return art, sm
 
 
@@ -128,8 +148,11 @@ def bank_payload_path(bank_dir: str, vid, copies: int, flank_size: int,
     """Canonical per-locus bank filename (shared by LocusModelCache and the
     offline ``buildbank`` CLI so banks are reusable across runs and across
     ``--models`` paths: the key is locus parameters, not the DB file)."""
-    return os.path.join(bank_dir, "model_%s_%s_%s_%s.pkl.gz"
-                        % (vid, copies, flank_size, error_rate))
+    # slim banks are a distinct artifact (no dense tables) and must never
+    # shadow a full bank's payloads
+    suffix = ".slim" if SLIM_BANK else ""
+    return os.path.join(bank_dir, "model_%s_%s_%s_%s%s.pkl.gz"
+                        % (vid, copies, flank_size, error_rate, suffix))
 
 
 def build_and_save_payload(ref_vntr, copies: int, flank_size: int,
@@ -300,6 +323,11 @@ class LocusModelCache:
                 struct = StructDeviceModel.from_struct(sm, art)
         dense = None
         if struct is None and pallas is None:
+            if art.log_T is None:
+                raise RuntimeError(
+                    "slim bank payload has no dense tables and no "
+                    "struct/pallas kernel is available; rebuild without "
+                    "ADVNTR_TPU_SLIM_BANK")
             dense = da.DeviceModel.from_artifact(_pad_artifact(art, n_pad))
         return LocusModel(art=art, meta=meta, struct=struct,
                           suffix_last=suffix_last, dense=dense,

@@ -79,7 +79,8 @@ class ModelArtifact:
 
     @property
     def n_states(self) -> int:
-        return self.log_T.shape[0]
+        # log_E, not log_T: slim bank payloads strip the dense tables
+        return self.log_E.shape[0]
 
     @property
     def n_silent(self) -> int:

@@ -42,6 +42,10 @@ def cmd_panel(argv):
     enable_compilation_cache()
     from benchmarks.panel_bench import make_panel, build_inputs, run_pipeline
 
+    argv = list(argv)
+    once = "--once" in argv
+    if once:
+        argv.remove("--once")
     workdir = argv[0]
     n_loci = int(argv[1]) if len(argv) > 1 else 12000
     coverage = float(argv[2]) if len(argv) > 2 else 15
@@ -77,7 +81,7 @@ def cmd_panel(argv):
                 os.remove(os.path.join(workdir, name))
 
     results = {"n_loci": n_loci, "coverage": coverage}
-    for tag in ("cold", "warm"):
+    for tag in (("cold",) if once else ("cold", "warm")):
         clear_ckpt()
         t0 = time.perf_counter()
         genotypes = run_pipeline(db_file, bam_file, workdir, Config())
@@ -92,8 +96,9 @@ def cmd_panel(argv):
                   "w") as fh:
             json.dump(mism, fh)
         print(json.dumps(results), flush=True)
-    results["extrapolated_hours_158522_warm"] = round(
-        158522 / results["loci_per_hour_warm"], 2)
+    rate_key = "loci_per_hour_cold" if once else "loci_per_hour_warm"
+    results["extrapolated_hours_158522"] = round(
+        158522 / results[rate_key], 2)
     print(json.dumps(results))
 
 

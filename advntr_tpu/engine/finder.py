@@ -236,30 +236,34 @@ class LocusModelCache:
         key = self._key(ref_vntr, copies, flank_size, error_rate)
         if key in self._cache:
             return self._cache[key]
+        import gzip
+        import os
+        import pickle
         payload = None
+        built = False
         fut = self._futures.pop(key, None)
         if fut is not None:
             payload = fut.result()
+            built = True
         if payload is None:
             path = self._bank_path(key)
-            if path is not None:
-                import gzip
-                import os
-                import pickle
-                if os.path.exists(path):
-                    with gzip.open(path, "rb") as fh:
-                        payload = pickle.load(fh)
+            if path is not None and os.path.exists(path):
+                with gzip.open(path, "rb") as fh:
+                    payload = pickle.load(fh)
         if payload is None:
             payload = build_locus_payload(ref_vntr, copies, flank_size,
                                           error_rate)
+            built = True
+        if built:
+            # persist pool-built payloads too: the no-prebank genome mode
+            # builds its (slim) bank inside the run
             path = self._bank_path(key)
-            if path is not None:
-                import gzip
-                import os
-                import pickle
+            if path is not None and not os.path.exists(path):
                 os.makedirs(self.bank_dir, exist_ok=True)
-                with gzip.open(path, "wb", compresslevel=1) as fh:
+                tmp = "%s.tmp.%d" % (path, os.getpid())
+                with gzip.open(tmp, "wb", compresslevel=1) as fh:
                     pickle.dump(payload, fh)
+                os.replace(tmp, path)
         art, sm = payload
         self._cache[key] = self._build_from_payload(art, sm)
         return self._cache[key]

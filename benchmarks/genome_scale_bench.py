@@ -42,10 +42,19 @@ def cmd_panel(argv):
     enable_compilation_cache()
     from benchmarks.panel_bench import make_panel, build_inputs, run_pipeline
 
+    import dataclasses
     argv = list(argv)
     once = "--once" in argv
     if once:
         argv.remove("--once")
+    prebank = "--no-prebank" not in argv
+    if not prebank:
+        argv.remove("--no-prebank")
+    io_threads = None
+    if "--io-threads" in argv:
+        i = argv.index("--io-threads")
+        io_threads = int(argv[i + 1])
+        del argv[i:i + 2]
     workdir = argv[0]
     n_loci = int(argv[1]) if len(argv) > 1 else 12000
     coverage = float(argv[2]) if len(argv) > 2 else 15
@@ -67,7 +76,8 @@ def cmd_panel(argv):
         expected = json.load(fh)
 
     bank_dir = os.path.join(workdir, "model_bank")
-    if not os.path.isdir(bank_dir) or len(os.listdir(bank_dir)) < n_loci:
+    if prebank and (not os.path.isdir(bank_dir)
+                    or len(os.listdir(bank_dir)) < n_loci):
         from advntr_tpu.cli import main as cli_main
         t0 = time.perf_counter()
         cli_main(["buildbank", "-m", db_file, "-l", "150", "-t", "2",
@@ -80,11 +90,17 @@ def cmd_panel(argv):
             if name.startswith("results_checkpoint_"):
                 os.remove(os.path.join(workdir, name))
 
+    cfg = Config()
+    if io_threads is not None:
+        # workers = io_threads - 1 process-pool model builders overlap the
+        # device dispatch (LocusModelCache.schedule) — the no-prebank mode
+        # builds the (slim) bank inside the run instead of a serial prepass
+        cfg = dataclasses.replace(cfg, io_threads=io_threads)
     results = {"n_loci": n_loci, "coverage": coverage}
     for tag in (("cold",) if once else ("cold", "warm")):
         clear_ckpt()
         t0 = time.perf_counter()
-        genotypes = run_pipeline(db_file, bam_file, workdir, Config())
+        genotypes = run_pipeline(db_file, bam_file, workdir, cfg)
         dt = time.perf_counter() - t0
         mism = [(vid, want, genotypes.get(vid))
                 for vid, want in expected.items()

@@ -37,18 +37,33 @@ def main():
     pattern = "CGCGGGGCGGGGCACCCACGTACGTGCA"[:25]
     left = "".join(rng.choice("ACGT") for _ in range(500))
     right = "".join(rng.choice("ACGT") for _ in range(500))
-    copies = 60
+    # the model scales WITH the read window: a read of length L spanning a
+    # tract leaves ~L-600 bp of repeat, so max_copies tracks L exactly as
+    # the production PacBio path sizes its max-copies HMM
+    # (finder.get_dominant_copy_numbers_from_spanning_reads)
+    # (L<=2432 keeps the historical copies=60 shape so the round-2/4
+    # datapoints stay comparable)
+    copies = 60 if L <= 2432 else (L - 700) // len(pattern)
+    t0 = time.perf_counter()
     trans, emis = profile_for_repeats([pattern] * 3, 0.3)
     g = build_read_matcher(left[-300:], right[:300], trans, emis, copies,
                            0.3)
+    build_g = time.perf_counter() - t0
+    t0 = time.perf_counter()
     art = compile_graph(g)
+    build_art = time.perf_counter() - t0
+    t0 = time.perf_counter()
     cache = LocusModelCache()
     lm = cache._build(g, art)
     sdm = lm.struct_model()
-    print(f"n_states={art.n_states} struct P={sdm.eM.shape[0]} L={L}",
-          flush=True)
+    build_dev = time.perf_counter() - t0
+    print(f"n_states={art.n_states} struct P={sdm.eM.shape[0]} L={L} "
+          f"copies={copies} (graph {build_g:.0f}s, closure {build_art:.0f}s,"
+          f" device tensors {build_dev:.0f}s, (S,S) traceback table "
+          f"{sdm.log_T_struct_t.nbytes / 1e9:.2f} GB)", flush=True)
 
-    hap = left[-300:] + pattern * 40 + right[:300]
+    n_hap_copies = max(40, copies - 8)
+    hap = left[-300:] + pattern * n_hap_copies + right[:300]
     reads = []
     for _ in range(max(batches)):
         s = mutate(hap, 0.08, rng)
@@ -78,8 +93,20 @@ def main():
               f"{compile_s:.1f}s)", flush=True)
 
     # conformance spot-check vs the plain struct kernel at a plane-safe size
+    # (the plain kernel's (L, B, S) planes cap the comparable L: at 20kb
+    # lattices they would need many GB of HBM — exactly why the ckpt kernel
+    # exists — so compare on a truncated window of the SAME model)
     from advntr_tpu.ops.viterbi_struct import viterbi_struct_batch
     Bc = min(8, max(batches))
+    S = sdm.eM.shape[0] * 2
+    Lc = L
+    while Lc > 2048 and Lc * Bc * S * 2 > 2 << 30:
+        Lc //= 2
+    if Lc != L:
+        print(f"# conformance window truncated to L={Lc} "
+              f"(plain-kernel planes)", flush=True)
+        batch_all = batch_all[:, :Lc]
+        lengths_all = np.minimum(lengths_all, Lc)
     batch = jnp.asarray(batch_all[:Bc])
     lengths = jnp.asarray(lengths_all[:Bc])
     b1, _, p1 = viterbi_struct_checkpointed(

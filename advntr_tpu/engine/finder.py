@@ -200,7 +200,16 @@ class LocusModelCache:
         self._pool = None
         if workers:
             import concurrent.futures
-            self._pool = concurrent.futures.ProcessPoolExecutor(workers)
+            import multiprocessing
+            # spawn, not fork: the in-run pool is created AFTER jax and the
+            # TPU tunnel client initialize, and a forked child can inherit a
+            # held lock from jax's (multithreaded) runtime — observed as a
+            # permanent hang of the no-prebank genome run (round 5).  The
+            # workers are host-only model builders and never touch the
+            # device, so a fresh interpreter is both safe and cheap
+            # relative to per-locus closure cost.
+            self._pool = concurrent.futures.ProcessPoolExecutor(
+                workers, mp_context=multiprocessing.get_context("spawn"))
 
     @staticmethod
     def _key(ref_vntr, copies, flank_size, error_rate):

@@ -39,11 +39,25 @@ from advntr_tpu.ops.viterbi_struct import (StructDeviceModel,
                                            struct_plane)
 
 
-def _forward_segment(m, suffix_last, lengths, carry, ems, ts,
+def _segment_emissions(m, codes):
+    """Per-segment emission planes from raw 2-bit codes: (K, B) ->
+    three (K, B, P*) f32 stacks.  Gathering INSIDE the segment keeps the
+    largest live emission plane at O(K·B·P) — precomputing them for the
+    whole read (the pre-round-5 layout) materialized three (L, B, P)
+    planes before the scan, which at the PacBio tract tail (L=P=20k)
+    alone exceeded HBM (measured: 22 GB for B=2)."""
+    eM = jnp.transpose(jnp.take(m.eM, codes, axis=1), (1, 2, 0))
+    eI = jnp.transpose(jnp.take(m.eI, codes, axis=1), (1, 2, 0))
+    eI0 = jnp.transpose(jnp.take(m.eI0, codes, axis=1), (1, 2, 0))
+    return eM, eI, eI0
+
+
+def _forward_segment(m, suffix_last, lengths, carry, codes, ts,
                      store_planes: bool):
     """Run one segment of forward columns from ``carry``; optionally keep
     the per-column value planes (pass 2) or drop them (pass 1)."""
     step = functools.partial(forward_step, m, suffix_last, lengths)
+    ems = _segment_emissions(m, codes)
     if store_planes:
         return jax.lax.scan(step, carry, ems + (ts,))
     new_carry, _ = jax.lax.scan(
@@ -66,11 +80,8 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
     B, L = seqs.shape
     seqs = seqs.astype(jnp.int32)
 
-    eM_x = jnp.transpose(jnp.take(m.eM, seqs.T, axis=1), (1, 2, 0))
-    eI_x = jnp.transpose(jnp.take(m.eI, seqs.T, axis=1), (1, 2, 0))
-    eI0_x = jnp.transpose(jnp.take(m.eI0, seqs.T, axis=1), (1, 2, 0))
-
-    carry0 = initial_column(m, suffix_last, eM_x[0], eI_x[0], eI0_x[0])
+    eM0, eI0_, eI00 = _segment_emissions(m, seqs[None, :, 0])
+    carry0 = initial_column(m, suffix_last, eM0[0], eI0_[0], eI00[0])
 
     n_steps = L - 1
     if n_steps == 0:
@@ -88,28 +99,26 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
     n_seg = -(-n_steps // K)
     pad = n_seg * K - n_steps
 
-    def seg_stack(x, fill):
-        # (n_steps, B, ...) -> (n_seg, K, B, ...); padded columns carry
-        # t >= L so the length freeze makes them no-ops for every read
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
-        return x.reshape((n_seg, K) + x.shape[1:])
-
-    ems_seg = (seg_stack(eM_x[1:], 0.0), seg_stack(eI_x[1:], 0.0),
-               seg_stack(eI0_x[1:], 0.0))
+    # (n_steps, B) code columns -> (n_seg, K, B); padded columns carry
+    # t >= L so the length freeze makes them no-ops for every read
+    # (pad code 0 is a valid symbol — its emission value is never used)
+    codes_all = seqs.T[1:]
+    if pad:
+        codes_all = jnp.concatenate(
+            [codes_all, jnp.zeros((pad, B), codes_all.dtype)], axis=0)
+    codes_seg = codes_all.reshape(n_seg, K, B)
     ts_all = jnp.arange(1, n_seg * K + 1, dtype=jnp.int32)
     ts_seg = ts_all.reshape(n_seg, K)
 
     # ---- pass 1: forward, checkpoint segment-entry carries ---------------
     def seg_fwd(carry, xs):
-        ems, ts = xs[:3], xs[3]
+        codes, ts = xs
         new_carry, _ = _forward_segment(m, suffix_last, lengths, carry,
-                                        ems, ts, store_planes=False)
+                                        codes, ts, store_planes=False)
         return new_carry, carry          # emit the ENTRY carry
 
     carry_f, checkpoints = jax.lax.scan(seg_fwd, carry0,
-                                        ems_seg + (ts_seg,))
+                                        (codes_seg, ts_seg))
     Mf, If, I0f, _, _, best = carry_f
     if not return_path:
         return best, None, None
@@ -127,16 +136,16 @@ def viterbi_struct_checkpointed(model_arrays, seqs, lengths, suffix_last,
         return new_cur, cur
 
     def seg_bwd(cur, xs):
-        ckpt, ems, ts = xs[0], xs[1:4], xs[4]
+        ckpt, codes, ts = xs
         _, v_planes = _forward_segment(m, suffix_last, lengths, ckpt,
-                                       ems, ts, store_planes=True)
+                                       codes, ts, store_planes=True)
         # reverse inner scan: ys[i] stays aligned with column ts[i]
         cur, emitted = jax.lax.scan(back_step, cur, (v_planes, ts),
                                     reverse=True)
         return cur, emitted              # (K, B) forward-ordered
 
     cur_final, seg_paths = jax.lax.scan(
-        seg_bwd, end_state_s, (checkpoints,) + ems_seg + (ts_seg,),
+        seg_bwd, end_state_s, (checkpoints, codes_seg, ts_seg),
         reverse=True)
     flat = seg_paths.reshape(n_seg * K, B)[:n_steps]       # (n_steps, B)
     path_s = jnp.concatenate([cur_final[:, None], flat.T], axis=1)

@@ -179,3 +179,49 @@ def test_run_device_routes_long_reads(monkeypatch):
                                  lm.suffix_last)
     for key in ("logp", "repeats", "n_matches", "repeat_bp"):
         np.testing.assert_array_equal(stats[key], np.asarray(plain[key]))
+
+
+def test_ckpt_no_full_read_planes():
+    """Memory-shape regression: the checkpointed kernel must never
+    materialize a full-read (L, B, P) plane — precomputing the emission
+    lattices before the segment scan OOM'd real HBM at the PacBio tract
+    tail (L=P=20480 needed 22 GB of a 16 GB v5e; PERF_NOTES round 5).
+    Every intermediate in the traced program must stay below the
+    (L-1)*B*P element count of one such lattice."""
+    import jax
+
+    _, sm, dev = make(["CAGCAG", "CAGCAG", "CAACAG"], "ACGTTGCA",
+                      "TTACGGAT", 6)
+    B, L, segment = 4, 512, 64
+    rng = random.Random(11)
+    reads = ["".join(rng.choice("ACGT") for _ in range(L)) for _ in range(B)]
+    rows = [dna.encode(r) for r in reads]
+    batch, lengths = dna.pad_batch(rows, pad_to=L, multiple=8)
+    P = sm.P + 1
+    budget = (L - 1) * B * P
+
+    jaxpr = jax.make_jaxpr(
+        lambda m, s, ln: viterbi_struct_checkpointed(
+            m, s, ln, suffix_last=sm.suffix_last, segment=segment)
+    )(dev.flat(), jnp.asarray(batch), jnp.asarray(lengths))
+
+    def walk(jx, seen):
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and hasattr(aval, "shape"):
+                    sz = int(np.prod(aval.shape)) if aval.shape else 1
+                    if np.issubdtype(aval.dtype, np.floating):
+                        seen.append((sz, aval.shape, eqn.primitive.name))
+            for val in eqn.params.values():
+                for sub in (val if isinstance(val, (list, tuple)) else [val]):
+                    inner = getattr(sub, "jaxpr", None)
+                    if inner is not None:
+                        walk(inner, seen)
+        return seen
+
+    seen = walk(jaxpr.jaxpr, [])
+    worst = max(seen)
+    assert worst[0] < budget, (
+        f"full-read-scale intermediate {worst[1]} ({worst[2]}) >= "
+        f"(L-1)*B*P = {budget}")

@@ -163,6 +163,18 @@ class RecruitmentFilter:
         n_loci = max(1, len(self.table.loci))
         b_cap = max(32, (64 << 20) // n_loci)
         b_cap = 1 << (b_cap.bit_length() - 1)
+        # ALSO cap the chunk width: Mosaic/XLA compile time for the
+        # count+top_k executable grows steeply with B at panel-scale
+        # n_loci (a B=4096 x 11.5k-locus program sat >40 min in the
+        # remote compiler, stalling the round-5 genome slice twice,
+        # while the B=256 x 158k genome-wide stream compiled in
+        # minutes).  1024-read chunks keep every observed shape
+        # compile-feasible; the async queue amortizes the extra
+        # dispatches, and steady-state counting throughput is plane-
+        # bound, not chunk-bound.
+        import os
+        b_cap = min(b_cap,
+                    int(os.environ.get("ADVNTR_TPU_RECRUIT_CHUNK", "1024")))
         if len(names) > b_cap:
             for s in range(0, len(names), b_cap):
                 self._process_chunk(names[s:s + b_cap], seqs[s:s + b_cap])
